@@ -1,0 +1,73 @@
+import numpy as np
+
+from lmat_tpu.core.encoding import split64
+from lmat_tpu.core.index import KmerIndex
+
+
+def random_db(rng, n, k, max_tids):
+    kmers = rng.choice(np.arange(0, 1 << (2 * k), dtype=np.uint64), size=n, replace=False)
+    lists = [
+        np.sort(rng.choice(10000, size=rng.integers(1, max_tids + 1), replace=False)).astype(np.uint32)
+        for _ in range(n)
+    ]
+    return kmers, lists
+
+
+def test_host_lookup_roundtrip():
+    rng = np.random.default_rng(2)
+    k = 12
+    kmers, lists = random_db(rng, 500, k, 8)
+    idx = KmerIndex.build(kmers, lists, k, max_tids=8)
+    order = np.argsort(kmers)
+    for i in np.concatenate([order[:50], order[-50:]]):
+        got = idx.lookup_host(int(kmers[i]))
+        assert got is not None
+        ng, tids = got
+        assert ng == len(lists[i])
+        assert np.array_equal(tids, lists[i])
+    # misses
+    present = set(kmers.tolist())
+    for _ in range(100):
+        q = int(rng.integers(0, 1 << (2 * k)))
+        if q not in present:
+            assert idx.lookup_host(q) is None
+
+
+def test_device_lookup_matches_host():
+    rng = np.random.default_rng(3)
+    k = 12
+    kmers, lists = random_db(rng, 300, k, 8)
+    idx = KmerIndex.build(kmers, lists, k, max_tids=8)
+    dev = idx.to_device()
+
+    queries = np.concatenate(
+        [kmers[:100], rng.integers(0, 1 << (2 * k), size=100).astype(np.uint64)]
+    )
+    hi, lo = split64(queries)
+    found, ng, tids, tmask = dev.lookup(
+        np.asarray(hi).reshape(1, -1), np.asarray(lo).reshape(1, -1), np.ones((1, len(queries)), bool)
+    )
+    found = np.asarray(found)[0]
+    ng = np.asarray(ng)[0]
+    tids = np.asarray(tids)[0]
+    tmask = np.asarray(tmask)[0]
+    for j, q in enumerate(queries):
+        host = idx.lookup_host(int(q))
+        if host is None:
+            assert not found[j]
+        else:
+            hng, htids = host
+            assert found[j]
+            assert ng[j] == hng
+            assert np.array_equal(tids[j][tmask[j]], htids)
+
+
+def test_save_load(tmp_path):
+    rng = np.random.default_rng(4)
+    kmers, lists = random_db(rng, 100, 11, 4)
+    idx = KmerIndex.build(kmers, lists, 11, max_tids=4)
+    idx.save(str(tmp_path / "db"))
+    idx2 = KmerIndex.load(str(tmp_path / "db"))
+    for q in kmers[:20]:
+        a, b = idx.lookup_host(int(q)), idx2.lookup_host(int(q))
+        assert a[0] == b[0] and np.array_equal(a[1], b[1])
