@@ -1,0 +1,144 @@
+"""Database construction — the TPU-native make_db pipeline.
+
+Replaces the reference's three-stage build (kmerPrefixCounter -> tax_histo ->
+make_db_table, doc/lmat-doc.txt:536-551) with:
+
+  extract_kmers()     canonical k-mers per genome, vectorized NumPy
+                      (kmerPrefixCounter.cpp:138-146 semantics)
+  lca_collapse()      per-k-mer LCA closure set (tax_histo.cpp:217-239 —
+                      the *closure* keys of getLcaMap, not just the LCA)
+  build()             pack into the two-level KmerIndex
+
+plus an ingest path for reference-produced tax_histo binaries that preserves
+their on-disk taxid order, enabling bit-identical cross-validation.
+
+Pruning to a static per-k-mer taxid cap replicates make_db_table's tid_cutoff
+semantics (SortedDb.cpp:296-408): with a rank-priority map, keep the deepest
+priority classes that fit under the cap (stored in descending (priority, tid)
+order); without one, over-long lists collapse to the single root taxid.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from ..core.encoding import genome_canonical_kmers
+from ..core.index import KmerIndex
+from ..io import formats
+from ..io.fasta import iter_reads
+
+
+def extract_kmers(fasta_path: str, k: int):
+    """Scan an .int fasta (headers are taxids) -> dict kmer -> set(tids)."""
+    table: dict[int, set] = {}
+    for hdr, seq in iter_reads(fasta_path):
+        tid = int(hdr.split()[0].split("|")[0]) if hdr else 0
+        kmers = genome_canonical_kmers(seq.encode(), k)
+        for km in np.unique(kmers):
+            table.setdefault(int(km), set()).add(tid)
+    return table
+
+
+def lca_closure(taxonomy, tids) -> list[int]:
+    """The set tax_histo stores: input tids (present in the tree) plus all
+    ancestors up to and including the LCA, sorted ascending (canonical order;
+    the reference emits unordered_map order)."""
+    good = [t for t in tids if t in taxonomy]
+    if not good:
+        return []
+    if len(good) == 1 and len(tids) == 1:
+        return list(good)
+    full = set(good)
+    children: dict[int, set] = {}
+    for tid in good:
+        p = taxonomy.path_to_root(tid)
+        if p:
+            children.setdefault(p[0], set()).add(tid)
+        for j in range(1, len(p)):
+            children.setdefault(p[j], set()).add(p[j - 1])
+        full.update(p)
+    if len(good) == 1:
+        return list(good)
+    tidset = set(tids)
+    lca = 1
+    while True:
+        ch = children.get(lca, ())
+        if len(ch) == 1 and lca not in tidset:
+            full.discard(lca)
+            lca = next(iter(ch))
+        else:
+            break
+    return sorted(full)
+
+
+def prune_list(tids, cutoff: int, priority_map=None):
+    """make_db_table tid_cutoff pruning for one k-mer list."""
+    if cutoff <= 0 or len(tids) <= cutoff:
+        return list(tids)
+    if not priority_map:
+        return [1]
+    # max-heap on (priority, tid); pop equal-priority batches until <= cutoff
+    heap = [(-priority_map.get(t, 0), -t) for t in tids]
+    heapq.heapify(heap)
+    while heap:
+        cur = heap[0][0]
+        while heap and heap[0][0] == cur:
+            heapq.heappop(heap)
+        if len(heap) <= cutoff:
+            break
+    if not heap:
+        return [1]
+    out = []
+    while heap:
+        pr, nt = heapq.heappop(heap)
+        out.append(-nt)
+    return out
+
+
+def build_native(fasta_path: str, taxonomy, k: int, max_tids: int = 16,
+                 tid_cutoff: int = 0, priority_map=None) -> KmerIndex:
+    """Full native build: genomes -> LCA-collapsed sorted-order index."""
+    table = extract_kmers(fasta_path, k)
+    kmers = []
+    lists = []
+    for km in sorted(table):
+        closure = lca_closure(taxonomy, table[km])
+        if not closure:
+            continue
+        closure = prune_list(closure, tid_cutoff, priority_map)
+        if len(closure) > max_tids:
+            closure = prune_list(closure, max_tids, priority_map)
+        kmers.append(km)
+        lists.append(np.asarray(closure, np.uint32))
+    return KmerIndex.build(np.asarray(kmers, np.uint64), lists, k, max_tids=max_tids)
+
+
+def build_from_tax_histo(paths, k: int, max_tids: int = 16,
+                         tid_cutoff: int = 0, priority_map=None) -> KmerIndex:
+    """Ingest reference tax_histo binaries, preserving stored taxid order."""
+    if isinstance(paths, str):
+        paths = [paths]
+    kmers = []
+    lists = []
+    for path in paths:
+        for kmer, tids in formats.read_tax_histo(path):
+            lst = prune_list(list(tids), tid_cutoff, priority_map)
+            if len(lst) > max_tids:
+                lst = prune_list(lst, max_tids, priority_map)
+            kmers.append(kmer)
+            lists.append(np.asarray(lst, np.uint32))
+    return KmerIndex.build(np.asarray(kmers, np.uint64), lists, k, max_tids=max_tids)
+
+
+def write_tax_histo_native(fasta_path: str, taxonomy, k: int, out_path: str) -> int:
+    """Native equivalent of kmerPrefixCounter+tax_histo emitting the reference
+    v999 binary format (sorted k-mers, ascending tid order)."""
+    table = extract_kmers(fasta_path, k)
+    def records():
+        for km in sorted(table):
+            closure = lca_closure(taxonomy, table[km])
+            if closure:
+                yield km, closure
+    return formats.write_tax_histo(out_path, records(), k)

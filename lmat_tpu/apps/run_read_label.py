@@ -1,0 +1,73 @@
+"""CLI driver for classification — host-index version.
+
+Produces the same files as the reference run:
+  <ofbase>0.out                       per-read lines
+  <ofbase>.<min_score>.<min_kmer>.fastsummary
+  <ofbase>.<min_score>.<min_kmer>.nomatchsum
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..core.index import KmerIndex
+from ..core.taxonomy import Taxonomy
+from ..io.cppfmt import fmt_float
+from ..io.fasta import iter_reads_lmat
+from .read_label_host import Classifier, ScoreOptions
+
+
+def run(args) -> Classifier:
+    tax = Taxonomy.from_lmat_file(args.tax_tree)
+    tax.load_depth_file(args.depth)
+    if args.rank_file:
+        tax.load_rank_file(args.rank_file)
+    index = KmerIndex.load(args.db)
+    null = None
+    if args.null_list:
+        from ..core.nullmodel import NullModel
+
+        null = NullModel.load(args.null_list, lmat_dir=args.lmat_dir)
+    opts = ScoreOptions(
+        min_score=args.min_score,
+        min_kmer=args.min_kmer,
+        diff_thresh=args.sdiff,
+        diff_thresh2=args.hbias,
+        prn_all=True,
+    )
+    clf = Classifier(tax, index, opts, null_model=null)
+    n = 0
+    with open(args.output + "0.out", "w") as f:
+        for i, (hdr, seq) in enumerate(iter_reads_lmat(args.reads, fastq=args.fastq)):
+            if not hdr:
+                hdr = f"unknown_hdr:{i + 1}"
+            f.write(clf.classify(hdr, seq) + "\n")
+            n += 1
+    base = f"{args.output}.{fmt_float(args.min_score) if args.min_score else '0'}.{args.min_kmer}"
+    clf.write_fastsummary(base + ".fastsummary", args.rank_ids)
+    clf.write_nomatchsum(base + ".nomatchsum")
+    print(f"classified {n} reads -> {args.output}0.out")
+    return clf
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="lmat_tpu read_label (host)")
+    ap.add_argument("-d", "--db", required=True)
+    ap.add_argument("-i", "--reads", required=True)
+    ap.add_argument("-c", "--tax-tree", required=True)
+    ap.add_argument("-e", "--depth", required=True)
+    ap.add_argument("-w", "--rank-file", default=None)
+    ap.add_argument("-u", "--rank-ids", required=True)
+    ap.add_argument("-n", "--null-list", default=None)
+    ap.add_argument("--lmat-dir", default=None)
+    ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("-x", "--min-score", type=float, default=0.0)
+    ap.add_argument("-j", "--min-kmer", type=int, default=30)
+    ap.add_argument("-b", "--sdiff", type=float, default=1.0)
+    ap.add_argument("-l", "--hbias", type=float, default=0.0)
+    ap.add_argument("-q", "--fastq", action="store_true")
+    run(ap.parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,51 @@
+"""Bit-identical classification against golden outputs produced by the
+compiled reference binaries (tools/oracle) on the synthetic fixture."""
+
+import os
+
+import pytest
+
+from lmat_tpu.apps.make_db import build_from_tax_histo
+from lmat_tpu.apps.read_label_host import Classifier, ScoreOptions
+from lmat_tpu.core.taxonomy import Taxonomy
+from lmat_tpu.io.fasta import iter_reads_lmat
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures", "golden_small")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tax = Taxonomy.from_lmat_file(FIX + "/taxtree.dat")
+    tax.load_depth_file(FIX + "/depth.dat")
+    tax.load_rank_file(FIX + "/ranks.dat")
+    idx = build_from_tax_histo(FIX + "/work/taxhisto.bin", k=20, max_tids=8)
+    return tax, idx
+
+
+def classify_all(clf):
+    lines = []
+    for i, (hdr, seq) in enumerate(iter_reads_lmat(FIX + "/reads.fa")):
+        if not hdr:
+            hdr = f"unknown_hdr:{i + 1}"
+        lines.append(clf.classify(hdr, seq))
+    return lines
+
+
+def test_bit_identical_no_null(setup, tmp_path):
+    tax, idx = setup
+    opts = ScoreOptions(
+        min_score=0.0, min_kmer=30, diff_thresh=1.0, diff_thresh2=0.0, prn_all=True
+    )
+    clf = Classifier(tax, idx, opts)
+    lines = classify_all(clf)
+    golden = open(FIX + "/work/rl_nonull0.out").read().splitlines()
+    assert len(lines) == len(golden)
+    for i, (mine, ref) in enumerate(zip(lines, golden)):
+        assert mine == ref, f"read {i} differs:\nmine: {mine}\nref:  {ref}"
+
+    fs = tmp_path / "fs"
+    clf.write_fastsummary(str(fs), FIX + "/taxids.info")
+    assert fs.read_text() == open(FIX + "/work/rl_nonull.0.30.fastsummary").read()
+    nm = tmp_path / "nm"
+    clf.write_nomatchsum(str(nm))
+    assert nm.read_text() == open(FIX + "/work/rl_nonull.0.30.nomatchsum").read()
