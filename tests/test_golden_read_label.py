@@ -31,6 +31,28 @@ def classify_all(clf):
     return lines
 
 
+def test_bit_identical_with_null_model(setup, tmp_path):
+    from lmat_tpu.core.nullmodel import NullModel
+
+    tax, idx = setup
+    null = NullModel.load(FIX + "/null_lst.txt", lmat_dir=FIX)
+    opts = ScoreOptions(
+        min_score=0.0, min_kmer=30, diff_thresh=1.0, diff_thresh2=0.0, prn_all=True
+    )
+    clf = Classifier(tax, idx, opts, null_model=null)
+    lines = classify_all(clf)
+    golden = open(FIX + "/work/rl_null0.out").read().splitlines()
+    assert len(lines) == len(golden)
+    for i, (mine, ref) in enumerate(zip(lines, golden)):
+        assert mine == ref, f"read {i} differs:\nmine: {mine}\nref:  {ref}"
+    fs = tmp_path / "fs"
+    clf.write_fastsummary(str(fs), FIX + "/taxids.info")
+    assert fs.read_text() == open(FIX + "/work/rl_null.0.30.fastsummary").read()
+    nm = tmp_path / "nm"
+    clf.write_nomatchsum(str(nm))
+    assert nm.read_text() == open(FIX + "/work/rl_null.0.30.nomatchsum").read()
+
+
 def test_bit_identical_no_null(setup, tmp_path):
     tax, idx = setup
     opts = ScoreOptions(

@@ -5,7 +5,7 @@
 # Usage: gen_golden.sh <fixture_dir> [oracle_dir]
 set -euo pipefail
 
-FIX=${1:?fixture dir}
+FIX=$(cd "${1:?fixture dir}" && pwd)
 ORACLE=${2:-/tmp/lmat_oracle}
 BIN=$ORACLE/bin
 WORK=$FIX/work
@@ -37,8 +37,8 @@ RL_FLAGS="-e $FIX/depth.dat -c $FIX/taxtree.dat -d $WORK/fixture.db \
 
 # 4b. with null models, if they exist (see gen_null.sh)
 if [ -f "$FIX"/null_lst.txt ]; then
-    (cd "$FIX" && LMAT_DIR=$FIX "$BIN"/read_label $RL_FLAGS -n "$FIX"/null_lst.txt \
-        -o "$WORK"/rl_null) > "$WORK"/rl_null.log 2>&1
+    MALLOC_CHECK_=3 LMAT_DIR=$FIX "$BIN"/read_label $RL_FLAGS -n "$FIX"/null_lst.txt \
+        -o "$WORK"/rl_null > "$WORK"/rl_null.log 2>&1
 fi
 
 echo "golden outputs in $WORK"
