@@ -1,0 +1,134 @@
+"""Batched device classification pipeline (TPU path).
+
+Stage layout (all shapes static, everything under one jit):
+
+  [B, L] uint8 ASCII reads
+    -> 2-bit codes + validity                 (VPU select)
+    -> canonical k-mers as uint32 lanes       (k shifted or-accumulations)
+    -> within-read duplicate suppression      (pairwise compare, lower-tri any)
+    -> GC / valid-window statistics           (cumsum windows)
+    -> two-level index probe                  (gathers + branchless bsearch)
+    -> per-position taxid lists [B, P, T]     (masked arena gather)
+
+The output feeds either the reference-exact host epilogue
+(apps/read_label_host.Classifier, bit-identical mode) or the device scorer
+(fast mode, apps/read_label_score_device.py).
+
+Exact-mode equivalence with the host path is covered by tests/test_device.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.encoding import device_ascii_to_codes, device_canonical_kmers
+
+
+def pad_batch(seqs: list, pad_to: int | None = None, multiple: int = 128):
+    """Pack python strings into a [B, L] uint8 array (zero padded)."""
+    B = len(seqs)
+    maxlen = max((len(s) for s in seqs), default=1)
+    L = pad_to or -(-maxlen // multiple) * multiple
+    out = np.zeros((B, L), np.uint8)
+    for i, s in enumerate(seqs):
+        b = s.encode() if isinstance(s, str) else s
+        out[i, : len(b)] = np.frombuffer(b, np.uint8)
+    return out
+
+
+def prepare_reads(batch, k: int):
+    """Stages 1-3: codes -> canonical kmers -> dedup + stats.
+
+    batch: [B, L] uint8 (jax or numpy). Returns a dict of [B, P]/[B] arrays:
+      hi, lo        uint32   canonical k-mer lanes
+      qvalid        bool     valid window AND first occurrence (queryable)
+      wvalid        bool     valid window (dups included)
+      valid_kmers   int32[B]
+      valid_gc/tot  int32[B] GC statistics over long-run bases
+    """
+    import jax.numpy as jnp
+
+    codes, bvalid = device_ascii_to_codes(batch)
+    B, L = codes.shape
+    P = L - k + 1
+    hi, lo, wvalid = device_canonical_kmers(codes, bvalid, k)
+
+    # duplicate = same canonical kmer at an earlier valid window
+    eq = (hi[:, :, None] == hi[:, None, :]) & (lo[:, :, None] == lo[:, None, :])
+    earlier = (
+        jnp.arange(P, dtype=jnp.int32)[None, :] < jnp.arange(P, dtype=jnp.int32)[:, None]
+    )  # [i, j] True where j < i
+    dup = jnp.any(eq & earlier[None, :, :] & wvalid[:, None, :], axis=-1) & wvalid
+    qvalid = wvalid & ~dup
+
+    # GC statistics: bases inside runs with >= k consecutive valid bases,
+    # i.e. bases covered by at least one valid window
+    iv = wvalid.astype(jnp.int32)
+    cw = jnp.cumsum(iv, axis=1)
+    cw = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), cw], axis=1)  # [B, P+1]
+    # base j is covered by windows starting in [j-k+1, j] ∩ [0, P)
+    j = jnp.arange(L, dtype=jnp.int32)
+    lo_w = jnp.clip(j - k + 1, 0, P)
+    hi_w = jnp.clip(j + 1, 0, P)
+    covered = (cw[:, hi_w] - cw[:, lo_w]) > 0  # [B, L]
+    is_gc = bvalid & ((codes == 1) | (codes == 2))
+    valid_tot = jnp.sum((covered & bvalid).astype(jnp.int32), axis=1)
+    valid_gc = jnp.sum((covered & is_gc).astype(jnp.int32), axis=1)
+    valid_kmers = jnp.sum(wvalid.astype(jnp.int32), axis=1)
+
+    return {
+        "hi": hi,
+        "lo": lo,
+        "qvalid": qvalid,
+        "wvalid": wvalid,
+        "valid_kmers": valid_kmers,
+        "valid_gc": valid_gc,
+        "valid_tot": valid_tot,
+    }
+
+
+def probe(dev_index, prep):
+    """Stage 4: index probe for every window position."""
+    found, ng, tids, tmask = dev_index.lookup(prep["hi"], prep["lo"], prep["qvalid"])
+    return {"found": found, "ng": ng, "tids": tids, "tmask": tmask, **prep}
+
+
+@dataclass
+class DevicePipeline:
+    """Jitted end-to-end probe pipeline bound to a device-resident index."""
+
+    dev_index: object
+    k: int
+
+    def __post_init__(self):
+        import jax
+
+        def fn(batch):
+            return probe(self.dev_index, prepare_reads(batch, self.k))
+
+        self._fn = jax.jit(fn)
+
+    def __call__(self, batch):
+        return self._fn(batch)
+
+    def lookups_for_epilogue(self, batch_np, n_reads=None):
+        """Run the pipeline and convert to per-read per-position lookup lists
+        consumed by the reference-exact host epilogue."""
+        out = self._fn(batch_np)
+        found = np.asarray(out["found"])
+        ng = np.asarray(out["ng"])
+        tids = np.asarray(out["tids"])
+        tmask = np.asarray(out["tmask"])
+        B = found.shape[0] if n_reads is None else n_reads
+        result = []
+        for b in range(B):
+            per_pos = []
+            for p in range(found.shape[1]):
+                if found[b, p]:
+                    per_pos.append((True, int(ng[b, p]), tids[b, p][tmask[b, p]]))
+                else:
+                    per_pos.append((False, 0, ()))
+            result.append(per_pos)
+        return result
