@@ -34,6 +34,7 @@ def pad_batch(seqs: list, pad_to: int | None = None, multiple: int = 128):
     out = np.zeros((B, L), np.uint8)
     for i, s in enumerate(seqs):
         b = s.encode() if isinstance(s, str) else s
+        b = b[:L]
         out[i, : len(b)] = np.frombuffer(b, np.uint8)
     return out
 

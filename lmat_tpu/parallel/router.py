@@ -1,0 +1,202 @@
+"""Sharded k-mer table + all-to-all query router.
+
+The DB is sharded over the "db" mesh axis by contiguous prefix-bucket ranges;
+reads are data-parallel over ("data", "db").  Each device routes its queries
+to the bucket-owning shard in its mesh row with jax.lax.all_to_all, probes its
+local shard for the queries it receives, and routes results back — the
+TPU-native replacement for the reference's whole-DB-per-node mmap
+(SURVEY.md §2.3: "DB (model) parallelism" + "all-to-all query routing").
+
+Overflow handling: each device sends at most `cap` queries to any one shard.
+The router returns the worst-case overflow count; callers size `cap` with
+slack (prefix buckets are hash-uniform, so group sizes concentrate tightly
+around Q/S) and can re-run with a larger cap on a nonzero overflow.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.encoding import SUF_BITS
+from ..core.index import KmerIndex
+
+
+@dataclass
+class ShardedIndex:
+    """Stacked per-shard arrays; leading dim = shard, padded to max size."""
+
+    k: int
+    n_shards: int
+    buckets_per_shard: int
+    bucket_start: np.ndarray  # [S, per+1] shard-local offsets
+    suffix: np.ndarray        # [S, max_kmers]
+    tid_start: np.ndarray     # [S, max_kmers+1]
+    tid_flat: np.ndarray      # [S, max_arena]
+    ng: np.ndarray            # [S, max_kmers]
+    max_tids: int
+    search_depth: int
+
+    @classmethod
+    def from_index(cls, idx: KmerIndex, n_shards: int) -> "ShardedIndex":
+        n_buckets = idx.bucket_start.shape[0] - 1
+        assert n_buckets % n_shards == 0, "bucket count must divide by shards"
+        per = n_buckets // n_shards
+        bs, sf, ts, tf, ng = [], [], [], [], []
+        for s in range(n_shards):
+            b0, b1 = s * per, (s + 1) * per
+            k0, k1 = int(idx.bucket_start[b0]), int(idx.bucket_start[b1])
+            a0, a1 = int(idx.tid_start[k0]), int(idx.tid_start[k1])
+            bs.append(idx.bucket_start[b0 : b1 + 1].astype(np.int64) - k0)
+            sf.append(idx.suffix[k0:k1])
+            ts.append(idx.tid_start[k0 : k1 + 1].astype(np.int64) - a0)
+            tf.append(idx.tid_flat[a0:a1])
+            ng.append(idx.ng[k0:k1])
+
+        def stack(arrs, dtype):
+            m = max(a.shape[0] for a in arrs)
+            out = np.zeros((n_shards, m), dtype)
+            for i, a in enumerate(arrs):
+                out[i, : a.shape[0]] = a
+                if a.shape[0] < m:  # pad tails with the last value (monotone)
+                    out[i, a.shape[0] :] = a[-1] if a.shape[0] else 0
+            return out
+
+        return cls(
+            k=idx.k,
+            n_shards=n_shards,
+            buckets_per_shard=per,
+            bucket_start=stack(bs, np.int32),
+            suffix=stack(sf, np.uint32),
+            tid_start=stack(ts, np.int32),
+            tid_flat=stack(tf, np.uint32),
+            ng=stack(ng, np.uint16),
+            max_tids=idx.max_tids,
+            search_depth=idx.search_depth,
+        )
+
+
+def _local_probe(shard_arrays, per_buckets, shard_id, search_depth, max_tids,
+                 hi, lo, valid):
+    """Probe shard-local arrays; hi is the global bucket id."""
+    import jax.numpy as jnp
+
+    bucket_start, suffix, tid_start, tid_flat, ng_arr = shard_arrays
+    b = hi.astype(jnp.int32) - shard_id * per_buckets
+    in_range = (b >= 0) & (b < per_buckets)
+    b = jnp.clip(b, 0, per_buckets - 1)
+    start = jnp.take(bucket_start, b, mode="clip")
+    end = jnp.take(bucket_start, b + 1, mode="clip")
+    lo_u = lo.astype(jnp.uint32)
+    left = start
+    n = end - start
+    for _ in range(search_depth):
+        half = n >> 1
+        mid = left + half
+        mv = jnp.take(suffix, mid, mode="clip")
+        go_right = mv < lo_u
+        left = jnp.where(go_right, mid + 1, left)
+        n = jnp.where(go_right, n - half - 1, half)
+    pos = left
+    found = valid & in_range & (pos < end) & (jnp.take(suffix, pos, mode="clip") == lo_u)
+    ngv = jnp.where(found, jnp.take(ng_arr, pos, mode="clip").astype(jnp.int32), 0)
+    ts = jnp.take(tid_start, pos, mode="clip")
+    te = jnp.take(tid_start, jnp.where(found, pos + 1, pos), mode="clip")
+    count = te - ts
+    offs = ts[..., None] + jnp.arange(max_tids, dtype=jnp.int32)
+    tmask = (jnp.arange(max_tids, dtype=jnp.int32) < count[..., None]) & found[..., None]
+    tids = jnp.where(tmask, jnp.take(tid_flat, offs, mode="clip"), jnp.uint32(0))
+    return found, ngv, tids, tmask
+
+
+def make_sharded_lookup(mesh, sidx: ShardedIndex, q_per_device: int, cap: int | None = None):
+    """Build a pjit-able sharded lookup fn.
+
+    Returns fn(shard_arrays_stacked, hi, lo, valid) -> (found, ng, tids,
+    tmask, overflow) where hi/lo/valid are flat [Q_total] arrays sharded over
+    ("data","db") and shard arrays are sharded over "db".
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    S = sidx.n_shards
+    per = sidx.buckets_per_shard
+    depth = sidx.search_depth
+    T = sidx.max_tids
+    if cap is None:
+        cap = q_per_device  # safe upper bound
+
+    def body(bucket_start, suffix, tid_start, tid_flat, ng_arr, hi, lo, valid):
+        shard_id = jax.lax.axis_index("db")
+        arrays = (bucket_start[0], suffix[0], tid_start[0], tid_flat[0], ng_arr[0])
+        Q = hi.shape[0]
+
+        owner = jnp.clip(hi.astype(jnp.int32) // per, 0, S - 1)
+        order = jnp.argsort(owner, stable=True)
+        s_owner = owner[order]
+        group_start = jnp.searchsorted(s_owner, jnp.arange(S, dtype=jnp.int32))
+        pos_in_group = jnp.arange(Q, dtype=jnp.int32) - group_start[s_owner]
+        counts = jnp.bincount(owner, length=S)
+        overflow = jax.lax.pmax(
+            jnp.max(jnp.maximum(counts - cap, 0)), ("data", "db")
+        )
+
+        def scatter(vals, fill):
+            buf = jnp.full((S, cap) + vals.shape[1:], fill, vals.dtype)
+            ok = pos_in_group < cap
+            return buf.at[s_owner, jnp.where(ok, pos_in_group, 0)].set(
+                jnp.where(
+                    ok.reshape((-1,) + (1,) * (vals.ndim - 1)), vals[order], buf[0, 0]
+                ),
+                mode="drop",
+            )
+
+        send_hi = scatter(hi, 0)
+        send_lo = scatter(lo, 0)
+        send_valid = scatter(valid, False)
+
+        a2a = lambda x: jax.lax.all_to_all(x, "db", split_axis=0, concat_axis=0)
+        recv_hi = a2a(send_hi)
+        recv_lo = a2a(send_lo)
+        recv_valid = a2a(send_valid)
+
+        found, ngv, tids, tmask = _local_probe(
+            arrays, per, shard_id, depth, T,
+            recv_hi.reshape(-1), recv_lo.reshape(-1), recv_valid.reshape(-1)
+        )
+        r_found = a2a(found.reshape(S, cap))
+        r_ng = a2a(ngv.reshape(S, cap))
+        r_tids = a2a(tids.reshape(S, cap, T))
+        r_tmask = a2a(tmask.reshape(S, cap, T))
+
+        # gather back to original query order
+        ok = pos_in_group < cap
+        pg = jnp.where(ok, pos_in_group, 0)
+        g_found = jnp.where(ok, r_found[s_owner, pg], False)
+        g_ng = jnp.where(ok, r_ng[s_owner, pg], 0)
+        g_tids = jnp.where(ok[:, None], r_tids[s_owner, pg], 0)
+        g_tmask = jnp.where(ok[:, None], r_tmask[s_owner, pg], False)
+        inv = jnp.argsort(order, stable=True)
+        return g_found[inv], g_ng[inv], g_tids[inv], g_tmask[inv], overflow
+
+    specs_db = P("db")
+    spec_q = P(("data", "db"))
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(specs_db, specs_db, specs_db, specs_db, specs_db,
+                  spec_q, spec_q, spec_q),
+        out_specs=(spec_q, spec_q, spec_q, spec_q, P()),
+        check_vma=False,
+    )
+
+    def wrapped(hi, lo, valid):
+        return fn(
+            sidx.bucket_start, sidx.suffix, sidx.tid_start, sidx.tid_flat, sidx.ng,
+            hi, lo, valid,
+        )
+
+    return jax.jit(wrapped)
