@@ -1,0 +1,207 @@
+"""Gene annotation pass — second k-mer search over classified reads.
+
+Replicates /root/reference/src/gene_label.cpp: parse read_label ``.out``
+lines, look every canonical k-mer of the read up in a gene-ID-keyed k-mer DB,
+call the gene with the most k-mer hits (score = hits / distinct-valid-k-mers),
+and aggregate (gene, read-taxid) count/score tables joined against a gzipped
+gene-name table into ``.genesummary`` files.
+
+Field-parsing quirks reproduced exactly (gene_label.cpp:588-632): C++11
+zero-on-extraction-failure, the ReadTooShort skip via stats[2] == -1, and
+taxid := 0 for NoDbHits/ReadTooShort match types.
+"""
+
+from __future__ import annotations
+
+import gzip
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.encoding import ReadKmers
+from ..core.gnusort import gnu_sort
+from ..io.cppfmt import fmt_float
+
+F = np.float32
+
+
+@dataclass
+class GeneLabelOptions:
+    min_score: float = 0.0      # -x (run_gl.sh: 0.1)
+    min_kmer: int = 0           # -q (run_gl.sh: 20)
+    min_tax_score: float = 0.0  # -b
+    k: int = 20
+
+
+def _parse_out_line(line: str):
+    """Replicate the tab-field scan of gene_label.cpp:603-632.
+
+    Returns (hdr, read, skip, taxid, tax_score) — skip=True for the
+    stats[2] == -1 (ReadTooShort) case.
+    """
+    p1 = line.find("\t")
+    hdr = line[:p1] if p1 >= 0 else line
+    p2 = line.find("\t", p1 + 1) if p1 >= 0 else -1
+    read_buff = line[p1 + 1 : p2 if p2 >= 0 else len(line)] if p1 >= 0 else ""
+    p3 = line.find("\t", p2 + 1) if p2 >= 0 else -1
+    stats = line[p2 + 1 : p3 if p3 >= 0 else len(line)] if p2 >= 0 else ""
+    s = _extract_floats(stats, 3)
+    if s[2] == -1.0:
+        return hdr, read_buff, True, 0, F(0)
+    # npos+1 wraps to 0 in the reference when a tab is missing
+    p3_next = (p3 + 1) if p3 >= 0 else 0
+    p4 = line.find("\t", p3_next)
+    p4_next = (p4 + 1) if p4 >= 0 else 0
+    p5 = line.find("\t", p4_next)
+    taxid_w_scores = line[p4 + 1 : (p5 + 1) if p5 >= 0 else len(line)] if p4 >= 0 else line[0 : (p5 + 1) if p5 >= 0 else len(line)]
+    toks = taxid_w_scores.split()
+    taxid, tax_score, match_type = 0, F(0), ""
+    ok = True
+    if toks:
+        try:
+            taxid = int(toks[0])
+        except ValueError:
+            taxid, ok = 0, False
+        if ok and len(toks) > 1:
+            try:
+                tax_score = F(toks[1])
+            except ValueError:
+                tax_score, ok = F(0), False
+        if ok and len(toks) > 2:
+            match_type = toks[2]
+    if match_type[:1] in ("N", "R"):
+        taxid = 0
+    return hdr, read_buff, False, taxid, tax_score
+
+
+def _extract_floats(s: str, n: int):
+    out = [0.0] * n
+    toks = s.split()
+    for i in range(n):
+        if i < len(toks):
+            try:
+                out[i] = float(toks[i])
+            except ValueError:
+                break
+        else:
+            break
+    return out
+
+
+class GeneLabeler:
+    def __init__(self, gene_index, opts: GeneLabelOptions):
+        self.index = gene_index
+        self.opts = opts
+        # taxid -> {gid -> count}, taxid -> {gid -> score sum}; plus the
+        # min_tax_score-filtered twins (gene_label.cpp:535-539)
+        self.track: dict[int, dict[int, int]] = {}
+        self.track_tax: dict[int, dict[int, int]] = {}
+        self.score: dict[int, dict[int, F]] = {}
+        self.score_tax: dict[int, dict[int, F]] = {}
+
+    def process_line(self, line: str, lookups=None) -> str | None:
+        """Process one read_label .out line; returns the output line or None."""
+        hdr, read, skip, taxid, tscore = _parse_out_line(line)
+        if skip or len(read) < self.opts.k:
+            return None
+        rk = ReadKmers(read.encode(), self.opts.k)
+        gene_track: dict[int, int] = {}
+        geneid_lst: list[int] = []
+        valid_cnt = 0
+        P = rk.kmers.shape[0]
+        for pos in range(P):
+            if not rk.valid[pos] or rk.is_dup[pos]:
+                continue
+            valid_cnt += 1
+            if lookups is not None:
+                found, _ng, gids = lookups[pos]
+                if not found:
+                    continue
+            else:
+                got = self.index.lookup_host(int(rk.kmers[pos]))
+                if got is None:
+                    continue
+                gids = got[1]
+            for gid in gids:
+                gid = int(gid)
+                if gid not in gene_track:
+                    gene_track[gid] = 1
+                    geneid_lst.append(gid)
+                else:
+                    gene_track[gid] += 1
+        if not geneid_lst:
+            return None
+        gsort = [(g, gene_track[g]) for g in geneid_lst]
+        gnu_sort(gsort, lambda a, b: a[1] > b[1])
+        gl, best_cnt = gsort[0]
+        gscore = F(best_cnt) / F(valid_cnt)
+        out = (
+            f"{hdr}\t{read}\t{taxid} {fmt_float(tscore)}\t"
+            f"\t-1 {best_cnt} {valid_cnt}\t{gl} {fmt_float(gscore)} GL"
+        )
+        o = self.opts
+        if gscore > o.min_score and valid_cnt > o.min_kmer:
+            self.track.setdefault(taxid, {}).setdefault(gl, 0)
+            self.track[taxid][gl] += 1
+            self.score.setdefault(taxid, {})
+            self.score[taxid][gl] = self.score[taxid].get(gl, F(0)) + gscore
+        if tscore >= o.min_tax_score and gscore > o.min_score and valid_cnt > o.min_kmer:
+            self.track_tax.setdefault(taxid, {}).setdefault(gl, 0)
+            self.track_tax[taxid][gl] += 1
+            self.score_tax.setdefault(taxid, {})
+            self.score_tax[taxid][gl] = self.score_tax[taxid].get(gl, F(0)) + gscore
+        return out
+
+    def run_files(self, out_files: list[str], ofbase: str):
+        """One output file per input file (thread-per-file in the reference)."""
+        for i, path in enumerate(out_files):
+            with open(path) as f, open(f"{ofbase}{i}.out", "w") as ofs:
+                for raw in f:
+                    res = self.process_line(raw.rstrip("\n"))
+                    if res is not None:
+                        ofs.write(res + "\n")
+
+    # ------------------------------------------------------------------
+    def _merge(self, per_tax: dict) -> dict:
+        """taxid->{gid->v} re-keyed as gid->{taxid->v} (doMerge/doMergeF)."""
+        out: dict[int, dict[int, object]] = {}
+        for tid in sorted(per_tax):
+            for gid, v in per_tax[tid].items():
+                out.setdefault(gid, {})
+                out[gid][tid] = out[gid].get(tid, 0) + v
+        return out
+
+    def write_summaries(self, gene_table_gz: str, ofbase: str):
+        o = self.opts
+        merge_cnt = self._merge(self.track)
+        merge_cnt_tax = self._merge(self.track_tax)
+        score_merge = self._merge(self.score)
+        score_merge_tax = self._merge(self.score_tax)
+        base = f"{ofbase}.{fmt_float(o.min_score) if o.min_score else '0'}.{o.min_kmer}.genesummary"
+        f1 = open(base, "w")
+        f2 = open(f"{base}.min_tax_score.{fmt_float(o.min_tax_score) if o.min_tax_score else '0'}", "w")
+        opener = gzip.open if gene_table_gz.endswith(".gz") else open
+        with opener(gene_table_gz, "rt") as gt:
+            for raw in gt:
+                line = raw.rstrip("\n")
+                toks = line.split()
+                if len(toks) < 2:
+                    continue
+                try:
+                    gid = int(toks[1])
+                except ValueError:
+                    continue
+                if gid in merge_cnt:
+                    for label in sorted(merge_cnt[gid]):
+                        cnt = merge_cnt[gid][label]
+                        sc = score_merge.get(gid, {}).get(label, F(0))
+                        avg = sc / F(cnt)
+                        f1.write(f"{fmt_float(avg)}\t{cnt}\t{label}\t{line}\n")
+                if gid in merge_cnt_tax:
+                    for label in sorted(merge_cnt_tax[gid]):
+                        cnt = merge_cnt_tax[gid][label]
+                        sc = score_merge_tax.get(gid, {}).get(label, F(0))
+                        avg = sc / F(cnt)
+                        f2.write(f"{fmt_float(avg)}\t{cnt}\t{label}\t{line}\n")
+        f1.close()
+        f2.close()

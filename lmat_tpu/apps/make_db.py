@@ -132,6 +132,20 @@ def build_from_tax_histo(paths, k: int, max_tids: int = 16,
     return KmerIndex.build(np.asarray(kmers, np.uint64), lists, k, max_tids=max_tids)
 
 
+def build_from_kpc(paths, k: int, max_tids: int = 64) -> KmerIndex:
+    """Ingest kmerPrefixCounter binaries (e.g. gene DB inputs, the reference's
+    make_db_table -h path) preserving stored id order."""
+    if isinstance(paths, str):
+        paths = [paths]
+    kmers = []
+    lists = []
+    for path in paths:
+        for kmer, tids in formats.read_kpc_file(path):
+            kmers.append(kmer)
+            lists.append(np.asarray(tids, np.uint32))
+    return KmerIndex.build(np.asarray(kmers, np.uint64), lists, k, max_tids=max_tids)
+
+
 def write_tax_histo_native(fasta_path: str, taxonomy, k: int, out_path: str) -> int:
     """Native equivalent of kmerPrefixCounter+tax_histo emitting the reference
     v999 binary format (sorted k-mers, ascending tid order)."""
