@@ -1,0 +1,218 @@
+"""Content summarization — multi-k distinct-k-mer coverage per taxon.
+
+Replicates /root/reference/src/content_summ.cpp: reads a fastsummary and the
+classified ``.out`` files, rolls strain calls up to species, counts distinct
+canonical k-mers per (k, taxid) over the classified reads (no DB lookups),
+and writes the tree-indented ``.summ`` plus per-rank ``_kmer_cov`` coverage
+histograms.
+
+Reference quirks reproduced:
+  * the per-rank coverage file is created on the first taxid of a rank but
+    that taxid's histogram is NOT written (shadowed-variable bug,
+    content_summ.cpp:497-512);
+  * children are traversed depth-first with each node's children reversed
+    (push_front onto the open list, content_summ.cpp:475-486);
+  * rows are emitted for every tree node on a called path, including
+    zero-read internal nodes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.encoding import ReadKmers
+from ..io.cppfmt import fmt_float
+
+F = np.float32
+
+
+def is_plasmid(tid: int, low_num=frozenset()) -> bool:
+    return (10000000 <= tid < 11000000) or tid in low_num
+
+
+def is_human(tid: int) -> bool:
+    return tid in (9606, 63221, 741158)
+
+
+@dataclass
+class ContentSummOptions:
+    k_list: tuple = (8, 10, 14, 20)     # -k (run_cs.sh: 8,10,12,14,17)
+    rank_check: tuple = ("plasmid", "species", "genus")  # -a
+    threshold: float = 0.0              # -v
+    skip_human: bool = False            # -s
+    do_human_reg: bool = False          # -n
+    low_num_plasmids: frozenset = field(default_factory=frozenset)  # -p
+
+
+def _parse_call_field(line: str):
+    """Field scan of content_summ.cpp:410-425. Returns (read, call_str)."""
+    p1 = line.find("\t")
+    p2 = line.find("\t", p1 + 1) if p1 >= 0 else -1
+    p3 = line.find("\t", p2 + 1) if p2 >= 0 else -1
+    p3n = (p3 + 1) if p3 >= 0 else 0
+    p4 = line.find("\t", p3n)
+    p4n = (p4 + 1) if p4 >= 0 else 0
+    p5 = line.find("\t", p4n)
+    read = line[p1 + 1 : p2 if p2 >= 0 else len(line)] if p1 >= 0 else ""
+    lo = p4 + 1 if p4 >= 0 else 0
+    hi = p5 if p5 >= 0 else len(line)
+    return read, line[lo:hi]
+
+
+class ContentSummarizer:
+    def __init__(self, taxonomy, opts: ContentSummOptions):
+        self.tax = taxonomy
+        self.opts = opts
+        self.weighted: dict[int, str] = {}   # printed verbatim via %g float
+        self.read_cnts: dict[int, int] = {}
+        self.clst: list[int] = []
+        self.strain2spec: dict[int, int] = {}
+        # k -> taxid -> {kmer -> read count}
+        self.kmer_track: dict[int, dict[int, dict[int, int]]] = {
+            k: {} for k in opts.k_list
+        }
+
+    # -- fastsummary load (content_summ.cpp:349-382) -----------------------
+
+    def load_fastsummary(self, path: str):
+        tax = self.tax
+        target_rank = "region" if self.opts.do_human_reg else "species"
+        with open(path) as f:
+            for raw in f:
+                line = raw.rstrip("\n")
+                if "\tNULL\t" in line:
+                    continue
+                toks = line.split()
+                if len(toks) < 3:
+                    continue
+                wght = F(toks[0])
+                cnt = int(toks[1])
+                tid = int(toks[2])
+                self.weighted.setdefault(tid, wght)
+                self.read_cnts.setdefault(tid, cnt)
+                if tax.rank.get(tid, "") == target_rank:
+                    self.strain2spec.setdefault(tid, tid)
+                if not is_plasmid(tid, self.opts.low_num_plasmids):
+                    for ptid in tax.path_to_root(tid):
+                        if tax.rank.get(ptid, "") == target_rank:
+                            self.strain2spec.setdefault(tid, ptid)
+                self.clst.append(tid)
+
+    # -- per-read k-mer accumulation ---------------------------------------
+
+    def process_out_file(self, path: str):
+        opts = self.opts
+        tax = self.tax
+        rank_check = set(opts.rank_check)
+        with open(path) as f:
+            for raw in f:
+                line = raw.rstrip("\n")
+                read, call = _parse_call_field(line)
+                if call[:1] in ("N", "R"):
+                    continue
+                toks = call.split()
+                taxid, score = 0, F(0)
+                ok = True
+                if toks:
+                    try:
+                        taxid = int(toks[0])
+                        if taxid < 0:
+                            taxid &= 0xFFFFFFFF  # C++ unsigned wrap
+                    except ValueError:
+                        taxid, ok = 0, False
+                    if ok and len(toks) > 1:
+                        try:
+                            score = F(toks[1])
+                        except ValueError:
+                            score = F(0)
+                if is_human(taxid) and opts.skip_human:
+                    continue
+                if score < opts.threshold:
+                    continue
+                use_tid = taxid
+                if taxid in self.strain2spec and not is_plasmid(taxid, opts.low_num_plasmids):
+                    use_tid = self.strain2spec[taxid]
+                rnk = tax.rank.get(use_tid, "undef") if use_tid in tax.rank else "undef"
+                if rnk in rank_check or is_plasmid(taxid, opts.low_num_plasmids):
+                    self._store_kmers(read, use_tid)
+
+    def _store_kmers(self, read: str, use_tid: int):
+        b = read.encode()
+        for k in self.opts.k_list:
+            if len(b) < k:
+                continue
+            rk = ReadKmers(b, k)
+            track = self.kmer_track[k].setdefault(use_tid, {})
+            sel = rk.valid & ~rk.is_dup
+            for km in rk.kmers[sel]:
+                km = int(km)
+                track[km] = track.get(km, 0) + 1
+
+    # -- output (content_summ.cpp:442-571) ---------------------------------
+
+    def write_summ(self, ofbase: str):
+        tax = self.tax
+        opts = self.opts
+        seen = set()
+        child: dict[int, list[int]] = {}
+        for tid in self.clst:
+            ptor = tax.path_to_root(tid)
+            child_node = tid
+            for ptid in ptor:
+                if child_node not in seen:
+                    seen.add(child_node)
+                    child.setdefault(ptid, []).append(child_node)
+                child_node = ptid
+
+        with open(ofbase, "w") as ofs:
+            ofs.write("Name\tTaxID\tReads\tWReads\n")
+            tab_lst: dict[int, str] = {}
+            open_lst = [1]
+            rank_files: dict[str, object] = {}
+            while open_lst:
+                tid = open_lst.pop(0)
+                chk = tab_lst.get(tid, "") + "\t"
+                for ch in child.get(tid, []):
+                    tab_lst[ch] = chk
+                    open_lst.insert(0, ch)
+                tot_read_cnt = self.read_cnts.get(tid, 0)
+                wrdc = F(0)
+                if tot_read_cnt > 0:
+                    wrdc = self.weighted[tid]
+                    rank = tax.rank.get(tid, "")
+                    if rank != "no_rank":
+                        if is_plasmid(tid, opts.low_num_plasmids):
+                            rank = "plasmid"
+                        kos = None
+                        if rank in rank_files:
+                            kos = rank_files[rank]
+                        else:
+                            # reference bug: the newly created stream shadows
+                            # the outer variable, so the first taxid of each
+                            # rank opens the file but writes nothing
+                            rank_files[rank] = open(f"{ofbase}.{rank}_kmer_cov", "w")
+                        if kos is not None and tot_read_cnt > 1:
+                            self._comp_kmer_cov(tid, kos)
+                name = tax.names.get(tid, "")
+                ofs.write(
+                    f"{tab_lst.get(tid, '')}{name}\t{tid}\t{tot_read_cnt}\t{fmt_float(wrdc)}\n"
+                )
+            for fobj in rank_files.values():
+                fobj.close()
+
+    def _comp_kmer_cov(self, tid: int, ofs):
+        for k in self.opts.k_list:
+            merged = self.kmer_track[k].get(tid, {})
+            kmer_cnt = len(merged)
+            kcnt_sum = sum(merged.values())
+            hist: dict[int, int] = {}
+            for cnt in merged.values():
+                hist[cnt] = hist.get(cnt, 0) + 1
+            ofs.write(
+                f"taxid={tid} distinct_kmer_cnt={kmer_cnt} k_size={k} "
+                f"tot_kmer_cnt={kcnt_sum}\n"
+            )
+            for cnt in sorted(hist):
+                ofs.write(f"{tid} {k} {cnt} {hist[cnt]}\n")
