@@ -47,4 +47,8 @@ for app in kmerPrefixCounter tax_histo make_db_table read_label \
     $CXX $FLAGS "$REF/src/$app.cpp" $LIBOBJS -lz -o "$OUT/bin/$app"
 done
 
+# guard-page allocator: quarantines every freed chunk so the reference's
+# latent wild-free (omp-region teardown) cannot poison later allocations
+gcc -shared -fPIC -O1 "$HERE/efence.c" -o "$OUT/efence.so" -ldl
+
 echo "oracle binaries in $OUT/bin"
