@@ -71,15 +71,33 @@ def write_taxonomy(outdir):
     with open(os.path.join(outdir, "ranks.dat"), "w") as f:
         for t in sorted(TAX):
             f.write(f"{t} {TAX[t][1]}\n")
+    # rank-ids file in the real ncbi_taxonomy_rank format:
+    #   ktaxid=K,rank=R,taxid=N\t<rank,name>\t... (lineage root->self, no root)
+    # read_label -u scans for the "taxid" token and takes the last tab field
+    # as the display name; tolineage uses the comma-field t[2] and the
+    # "rank,name" lineage entries.
+    def disp_rank(r):
+        return "no rank" if r == "no_rank" else r
+
     with open(os.path.join(outdir, "taxids.info"), "w") as f:
         for t in sorted(TAX):
-            lineage = [t]
+            lineage = []
             cur = t
-            while TAX[cur][0] != cur:
-                cur = TAX[cur][0]
+            while True:
                 lineage.append(cur)
-            parts = ",".join(f"taxid={x}" for x in lineage)
-            f.write(f"{parts}\t{TAX[t][2]}\n")
+                if TAX[cur][0] == cur:
+                    break
+                cur = TAX[cur][0]
+            lineage.reverse()  # root ... self
+            lineage = [x for x in lineage if x != 1]
+            meta = f"ktaxid={t},rank={disp_rank(TAX[t][1])},taxid={t},depth={TAX[t][3]}"
+            fields = [f"{disp_rank(TAX[x][1])},{TAX[x][2]}" for x in lineage]
+            if not fields:
+                fields = [f"{disp_rank(TAX[t][1])},{TAX[t][2]}"]
+            f.write(meta + "\t" + "\t".join(fields) + "\n")
+    # auxiliary files consumed by fsreport.py
+    open(os.path.join(outdir, "low_numid_plasmids.txt"), "w").close()
+    open(os.path.join(outdir, "plasmid.names.txt"), "w").close()
 
 
 def rand_seq(rng, n):

@@ -34,9 +34,16 @@ def main():
     with open(fix / "genes.fa", "w") as f:
         for g, tid, seq in genes:
             f.write(f">{g}\n{seq}\n")
+    # tab-separated like the real gn_ref2 table; within a genesummary line the
+    # tab-split fields become t[3]=tid t[4]=gid ... t[7]=type (fsreport.py
+    # reads t[4] as geneid and t[7] as the rRNA marker)
     with gzip.open(fix / "gene_names.txt.gz", "wt") as f:
-        for g, tid, seq in genes:
-            f.write(f"{tid} {g} gene=g{g},product=protein_{g},len={len(seq)}\n")
+        for i, (g, tid, seq) in enumerate(genes):
+            ftype = "rRNA" if i % 5 == 0 else "CDS"
+            f.write(
+                f"{tid}\t{g}\tNC_{tid}\t1..{len(seq)}\t{ftype}\t"
+                f"gene=g{g},product=protein_{g},len={len(seq)}\n"
+            )
     print(f"{len(genes)} genes written")
 
 
