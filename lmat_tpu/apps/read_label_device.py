@@ -79,6 +79,12 @@ def prepare_reads(batch, k: int):
     valid_gc = jnp.sum((covered & is_gc).astype(jnp.int32), axis=1)
     valid_kmers = jnp.sum(wvalid.astype(jnp.int32), axis=1)
 
+    # GC bin for null-model selection, C float semantics
+    # (read_label.cpp:1205-1206): f32 ratio, *100 in double, truncate, /10
+    ratio = valid_gc.astype(jnp.float32) / jnp.maximum(valid_tot, 1).astype(jnp.float32)
+    gc_pcnt = (ratio.astype(jnp.float64) * 100.0).astype(jnp.float32)
+    bin_sel = (gc_pcnt / jnp.float32(10.0)).astype(jnp.int32)
+
     return {
         "hi": hi,
         "lo": lo,
@@ -87,6 +93,7 @@ def prepare_reads(batch, k: int):
         "valid_kmers": valid_kmers,
         "valid_gc": valid_gc,
         "valid_tot": valid_tot,
+        "bin_sel": bin_sel,
     }
 
 

@@ -96,6 +96,7 @@ class ScoreOptions:
     prn_all: bool = True        # -p
     screen_phix: bool = True    # cleared by -h
     max_count: int = -1         # -g tid cutoff at query time (-1 = off)
+    tid_rank_map: dict = field(default_factory=dict)  # -m numeric ranks
     permissive: bool = False    # -s
     prn_read: bool = True       # cleared by -a
     low_num_plasmids: frozenset = field(default_factory=frozenset)  # -r
@@ -128,7 +129,7 @@ class Classifier:
     # retrieve_kmer_labels
     # ======================================================================
 
-    def _retrieve(self, seq: str, lookups=None):
+    def _retrieve(self, seq: str, lookups=None, collapse_human=True):
         """Returns (label_first, label_sets, taxid_lst, tax2idx,
         valid_kmers, bin_sel).
 
@@ -162,16 +163,20 @@ class Classifier:
             found, ng, tids = res
             if not found:
                 continue
-            # query-time pruning (TaxNodeStat.hpp:60-206, empty rank map case)
+            # query-time pruning (TaxNodeStat.hpp:60-206)
             if 0 < opts.max_count < ng:
-                tids = tids[:1]
-                ng = 1
+                if not opts.tid_rank_map:
+                    tids = tids[:1]
+                    ng = 1
+                else:
+                    tids, ng = _prune_by_rank(tids, opts.tid_rank_map, opts.max_count)
             obs_tids = []
             seen_human = False
             dcnt = 0
             for tid in tids:
                 tid = int(tid)
-                if is_human(tid):
+                if collapse_human and is_human(tid):
+                    # rkmer.hpp (the rand_read_label loop) lacks this collapse
                     if seen_human:
                         continue
                     tid = HUMAN_TAXID
@@ -642,6 +647,32 @@ class Classifier:
         with open(path, "w") as f:
             for key in sorted(self.track_nomatch):
                 f.write(f"{NOMATCH_STR[key]}\t{self.track_nomatch[key]}\n")
+
+
+def _prune_by_rank(tids, rank_map: dict, tid_cut: int):
+    """Rank-priority pruning, TaxNodeStat.hpp:118-200: drop batches of the
+    highest-priority taxids until <= tid_cut remain; the survivors are then
+    emitted in priority_queue pop order.  An empty result collapses to the
+    root taxid.  Uses the exact libstdc++ heap so tie order matches."""
+    from ..core.gnusort import CppPriorityQueue
+
+    q = CppPriorityQueue(lambda a, b: a[0] < b[0])
+    for tid in tids:
+        tid = int(tid)
+        q.push((rank_map.get(tid, 0), tid))
+    while len(q):
+        cur = q.top()[0]
+        while q.top()[0] == cur:
+            q.pop()
+            if not len(q):
+                break
+        if len(q) <= tid_cut:
+            break
+    if not len(q):
+        return [1], 1
+    count = len(q)
+    out = [q.pop()[1] for _ in range(count)]
+    return out, count
 
 
 def _strtok(s: str, delims: str) -> list[str]:

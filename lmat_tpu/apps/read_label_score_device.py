@@ -1,0 +1,529 @@
+"""Device (TPU) scorer — full read classification under jit ("fast mode").
+
+Implements the scoring semantics of read_label (construct_labels +
+findReadLabelVer2, /root/reference/src/read_label.cpp:284-941) as batched XLA
+over a per-read candidate axis of static cap C:
+
+  probe results [B,P,T] -> per-position ancestor suppression (Euler-tour
+  O(1) ancestor tests) -> per-read candidate set (sort+unique, cap C) ->
+  representative-strain selection -> ancestor-path augmentation -> null-model
+  log-odds -> the candidate-lineage walk and competing-lineage analysis as a
+  lax.scan over sorted candidates -> (call taxid, score, match type).
+
+Known, documented divergences from the bit-exact host path (exact mode):
+  * float accumulation order is candidate-index order (taxonomy order), not
+    the reference's insertion order — scores can differ in final ulps;
+  * the TCmp 1e-3 epsilon tie grouping is approximated by exact
+    (score, depth) lexicographic sorting;
+  * null-model rank-cutoff propagation uses an order-free prefix max.
+tests/test_device_scorer.py checks call-level agreement with exact mode.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+F32 = np.float32
+UNDEF = -10000.0
+NOT_FOUND_PROB = 2.0  # sentinel in null cutoff arrays: missing tid -> 1.0 rule
+
+
+@dataclass
+class DeviceScorerConfig:
+    max_candidates: int = 128
+    min_kmer: int = 30
+    min_fnd_kmer: int = 1
+    diff_thresh: float = 1.0    # sdiff
+    diff_thresh2: float = 0.0   # hbias
+    screen_phix: bool = True
+    def_rand: float = 0.1
+
+
+class DeviceScorer:
+    """Bound to taxonomy device arrays + optional null model."""
+
+    def __init__(self, taxonomy, cfg: DeviceScorerConfig, null_model=None,
+                 num_bins: int = 10):
+        import jax.numpy as jnp
+
+        self.cfg = cfg
+        arr = taxonomy.device_arrays()
+        self.tids = arr["tids"]
+        self.index = arr["index"]
+        n = len(self.tids)
+        self.n_nodes = n
+        self.depth = jnp.asarray(arr["depth"])
+        self.euler_in = jnp.asarray(arr["euler_in"])
+        self.euler_out = jnp.asarray(arr["euler_out"])
+        self.path_mat = jnp.asarray(arr["path_mat"])
+        self.max_path = arr["path_mat"].shape[1]
+        self.rank_code = jnp.asarray(arr["rank_code"])
+        self.species_anc = jnp.asarray(arr["species_anc"])
+
+        def idx_of(tid):
+            return self.index.get(tid, -1)
+
+        human = np.zeros(n, bool)
+        phix = np.zeros(n, bool)
+        plasmid = np.zeros(n, bool)
+        raw = arr["tids"]
+        for i, t in enumerate(raw):
+            t = int(t)
+            if t in (9606, 63221, 741158):
+                human[i] = True
+            if t in (374840, 10847, 32630):
+                phix[i] = True
+            if 10000000 <= t < 11000000:
+                plasmid[i] = True
+        self.is_human = jnp.asarray(human)
+        self.is_phix = jnp.asarray(phix)
+        self.is_plasmid = jnp.asarray(plasmid)
+        self.idx_human = idx_of(9606)
+        self.idx_art = idx_of(32630)
+
+        # null model arrays
+        self.null = null_model
+        self.num_bins = num_bins
+        if null_model is not None:
+            lens = sorted(null_model.rand_hits)
+            self.null_lens = np.asarray(lens, np.int32)
+            cut = np.full((len(lens), n, num_bins), NOT_FOUND_PROB, F32)
+            cls = np.zeros((len(lens), n), np.int8)
+            from .read_label_host import RANK2NUM
+
+            for li, L in enumerate(lens):
+                rh = null_model.rand_hits[L]
+                rc = null_model.rand_class[L]
+                for tid, cutoffs in rh.items():
+                    i = self.index.get(int(tid))
+                    if i is None:
+                        continue
+                    cut[li, i, :] = [float(c) for c in cutoffs]
+                    cls[li, i] = RANK2NUM.get(rc[tid], 0)
+            import jax.numpy as jnp2
+
+            self.null_cut = jnp2.asarray(cut)
+            self.null_cls = jnp2.asarray(cls)
+            # closest() boundaries
+            vec = sorted(null_model.read_len_vec)
+            self.rl_vec = np.asarray(vec, np.int32)
+            self.rl_avgs = np.asarray(
+                [(vec[i - 1] + vec[i]) // 2 for i in range(1, len(vec))], np.int32
+            )
+
+    # ------------------------------------------------------------------
+    def remap_index_tids(self, kidx):
+        """Return a copy of a KmerIndex whose arena stores dense node indices
+        (uint32); unknown taxids map to 0 (the reference would abort)."""
+        import copy
+
+        out = copy.copy(kidx)
+        lut = {}
+        flat = kidx.tid_flat
+        mapped = np.zeros_like(flat)
+        for i, t in enumerate(flat):
+            t = int(t)
+            m = lut.get(t)
+            if m is None:
+                m = self.index.get(t, 0)
+                lut[t] = m
+            mapped[i] = m
+        out.tid_flat = mapped.astype(np.uint32)
+        return out
+
+    # ------------------------------------------------------------------
+    def _anc(self, a, d):
+        """proper_ancestor(a, d) via Euler intervals; a,d: int32 idx arrays."""
+        import jax.numpy as jnp
+
+        ia = jnp.take(self.euler_in, a, mode="clip")
+        oa = jnp.take(self.euler_out, a, mode="clip")
+        idd = jnp.take(self.euler_in, d, mode="clip")
+        return (ia < idd) & (idd < oa)
+
+    # ------------------------------------------------------------------
+    def score_batch(self, probe, collapse_human=True):
+        """probe: dict from the probe pipeline with tids already REMAPPED to
+        dense node indices.  Returns a dict of [B]-shaped result arrays and
+        [B,C] candidate tables (for output formatting)."""
+        import jax
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        C = cfg.max_candidates
+        tids = probe["tids"].astype(jnp.int32)  # [B,P,T] dense idx
+        tmask = probe["tmask"]
+        B, P, T = tids.shape
+
+        # --- special-tid handling (read_label.cpp:1031-1046) --------------
+        raw_tid = jnp.take(jnp.asarray(self.tids.astype(np.int32)), tids, mode="clip")
+        skip = (raw_tid == 20999999) | (raw_tid == 12721) | (raw_tid == 693660)
+        if collapse_human:
+            hm = jnp.take(self.is_human, tids, mode="clip") & tmask
+            first_h = jnp.cumsum(hm.astype(jnp.int32), axis=-1)
+            # keep the first human slot (mapped to 9606), drop later ones
+            keep_h = hm & (first_h == 1)
+            tids = jnp.where(keep_h, self.idx_human, tids)
+            tmask = tmask & (~hm | keep_h)
+        tmask = tmask & ~skip
+
+        # --- per-position ancestor suppression ----------------------------
+        # kept iff not a proper ancestor of any other observed tid at pos
+        anc_pair = self._anc(tids[..., :, None], tids[..., None, :])  # [B,P,T,T]
+        other = tmask[..., None, :] & tmask[..., :, None]
+        suppressed = jnp.any(anc_pair & other, axis=-1)
+        kept = tmask & ~suppressed
+
+        # --- stage 1: candidate set of kept tids (sort+unique, cap C) -----
+        SENTINEL = jnp.int32(self.n_nodes + 7)
+
+        def unique_cap(flat):
+            s = jnp.sort(flat, axis=1)
+            uniq = jnp.concatenate(
+                [jnp.ones((B, 1), bool), s[:, 1:] != s[:, :-1]], axis=1
+            ) & (s < SENTINEL)
+            pos = jnp.cumsum(uniq.astype(jnp.int32), axis=1) - 1
+            out = jnp.full((B, C), SENTINEL, jnp.int32)
+            out = out.at[
+                jnp.arange(B)[:, None], jnp.where(uniq & (pos < C), pos, C - 1)
+            ].set(jnp.where(uniq & (pos < C), s, SENTINEL), mode="drop")
+            total = jnp.max(pos, axis=1) + 1
+            n = jnp.minimum(total, C)
+            return out, n, jnp.max(jnp.maximum(total - C, 0))
+
+        flat1 = jnp.where(kept, tids, SENTINEL).reshape(B, P * T)
+        cand1, n1, ovf1 = unique_cap(flat1)
+
+        # per-candidate kept-occurrence counts (leaf_track)
+        cnt1 = jnp.zeros((B, C), jnp.int32)
+        for t in range(T):
+            m = (tids[:, :, t][:, :, None] == cand1[:, None, :]) & kept[:, :, t][:, :, None]
+            cnt1 = cnt1 + jnp.sum(m.astype(jnp.int32), axis=1)
+
+        # representative strain per species among strain candidates:
+        # max (count, -taxid); reference ties keep the smaller taxid
+        rank1 = jnp.take(self.rank_code, cand1, mode="clip")
+        strain1 = (rank1 == 1) & (cand1 < SENTINEL)
+        spec1 = jnp.take(self.species_anc, cand1, mode="clip")
+        has_spec1 = strain1 & (spec1 >= 0)
+        raw1 = jnp.take(jnp.asarray(self.tids.astype(np.int32)), cand1, mode="clip")
+        # pairwise dominance: another same-species strain with more hits, or
+        # equal hits and a smaller taxid, displaces this one
+        same_spec = (
+            (spec1[:, :, None] == spec1[:, None, :])
+            & has_spec1[:, None, :]
+            & has_spec1[:, :, None]
+        )
+        beats = same_spec & (
+            (cnt1[:, None, :] > cnt1[:, :, None])
+            | ((cnt1[:, None, :] == cnt1[:, :, None]) & (raw1[:, None, :] < raw1[:, :, None]))
+        )
+        is_rep1 = has_spec1 & ~jnp.any(beats, axis=2)
+        qualify1 = (cand1 < SENTINEL) & (~strain1 | is_rep1)
+
+        # --- stage 2: final candidates = stage1 + qualifying paths --------
+        paths1 = jnp.take(self.path_mat, cand1, axis=0, mode="clip")  # [B,C,D]
+        pv1 = (paths1 >= 0) & qualify1[:, :, None]
+        flat2 = jnp.concatenate(
+            [jnp.where(cand1 < SENTINEL, cand1, SENTINEL),
+             jnp.where(pv1, paths1, SENTINEL).reshape(B, C * self.max_path)],
+            axis=1,
+        )
+        cand, n_cand, ovf2 = unique_cap(flat2)
+        cmask = jnp.arange(C)[None, :] < n_cand[:, None]
+        overflow = jnp.maximum(ovf1, ovf2)
+
+        # qualify per (b,p,t): look up the tid's stage-1 candidate slot
+        # --- presence/found counts [B,C] ----------------------------------
+        pres_any = jnp.zeros((B, P, C), bool)
+        for t in range(T):
+            tt = tids[:, :, t]  # [B,P]
+            kk = kept[:, :, t]
+            # qualify flag of this tid via stage-1 membership
+            m1 = tt[:, :, None] == cand1[:, None, :]  # [B,P,C]
+            q_t = jnp.any(m1 & qualify1[:, None, :], axis=2) & kk
+            direct = (tt[:, :, None] == cand[:, None, :]) & kk[:, :, None]
+            anc = self._anc(cand[:, None, :], tt[:, :, None]) & q_t[:, :, None]
+            pres_any = pres_any | direct | anc
+        found_cnt = jnp.sum(pres_any.astype(jnp.int32), axis=1)
+
+        qvalid = probe["qvalid"]
+        cand_kmer_cnt = jnp.sum(qvalid.astype(jnp.int32), axis=1)
+        cnt_fnd = jnp.sum(jnp.any(pres_any, axis=2).astype(jnp.int32), axis=1)
+
+        valid_kmers = probe["valid_kmers"]
+
+        # --- probabilities and log-odds -----------------------------------
+        label_prob = found_cnt.astype(F32) / jnp.maximum(cand_kmer_cnt, 1)[:, None].astype(F32)
+        use_rand = self.null is not None
+        if use_rand:
+            # read-length bin via closest()
+            avgs = jnp.asarray(self.rl_avgs)
+            vec = jnp.asarray(self.rl_vec)
+            bi = jnp.searchsorted(avgs, cand_kmer_cnt, side="left")
+            sel_len = jnp.take(vec, bi, mode="clip")
+            li = jnp.searchsorted(jnp.asarray(self.null_lens), sel_len)
+            li = jnp.clip(li, 0, len(self.null_lens) - 1)
+            have_model = jnp.take(jnp.asarray(self.null_lens), li, mode="clip") == sel_len
+            gc_bin = jnp.clip(probe["bin_sel"], 0, self.num_bins - 1)
+            cut = self.null_cut[li[:, None], cand, gc_bin[:, None]]  # [B,C]
+            rp = jnp.where(cut >= NOT_FOUND_PROB, F32(1.0), cut + F32(0.0001))
+            cls = self.null_cls[li[:, None], cand]  # [B,C]
+            # per-class max + prefix max over class ranks (order-free track)
+            NBC = 10
+            cls_max = jnp.zeros((B, NBC), F32)
+            cls_max = cls_max.at[jnp.arange(B)[:, None], cls].max(
+                jnp.where(cmask, rp, F32(0)), mode="drop"
+            )
+            track = jax.lax.associative_scan(jnp.maximum, cls_max, axis=1)
+            random_prob = track[jnp.arange(B)[:, None], cls]
+            denom = jnp.where(random_prob > 0, random_prob, F32(0.00001))
+            score = jnp.log(label_prob / denom).astype(F32)
+            score = jnp.where(have_model[:, None], score, label_prob)
+        else:
+            score = label_prob
+        score = jnp.where(cmask, score, F32(0))
+
+        # --- aggregates ----------------------------------------------------
+        pos_mask = (score > 0) & cmask
+        log_sum = jnp.sum(jnp.where(cmask, score, 0), axis=1)
+        pos_log_sum = jnp.sum(jnp.where(pos_mask, score, 0), axis=1)
+        sig_hits = n_cand
+        pos_sig_hits = jnp.sum(pos_mask.astype(jnp.int32), axis=1)
+        NEGF = F32(-3.0e38)
+        top_score = jnp.max(jnp.where(cmask, score, NEGF), axis=1)
+
+        phix_c = jnp.take(self.is_phix, cand, mode="clip") & cmask
+        fnd_phix = jnp.any(phix_c, axis=1)
+        # last phiX in candidate order wins (insertion-order quirk; with one
+        # phiX tid per DB this is unique)
+        phix_score = jnp.max(jnp.where(phix_c, score, NEGF), axis=1)
+
+        use_pos = pos_sig_hits > 3
+        log_avg = jnp.where(
+            use_pos,
+            pos_log_sum / jnp.maximum(pos_sig_hits, 1).astype(F32),
+            jnp.where(sig_hits > 0, log_sum / jnp.maximum(sig_hits, 1).astype(F32), F32(0)),
+        ).astype(F32)
+        dev = (log_avg[:, None] - score).astype(F32)
+        sq = dev * dev
+        contrib = jnp.where(
+            use_pos[:, None], jnp.where(pos_mask, sq, 0), jnp.where(cmask, sq, 0)
+        )
+        log_std = jnp.sum(contrib, axis=1).astype(F32)
+        use_sig = jnp.where(use_pos, pos_sig_hits, sig_hits)
+        stdev = jnp.where(
+            use_sig > 1,
+            jnp.sqrt(log_std / jnp.maximum(use_sig - 1, 1).astype(F32)),
+            F32(0),
+        ).astype(F32)
+
+        human_c = jnp.take(self.is_human, cand, mode="clip") & cmask
+        has_human = jnp.any(human_c, axis=1)
+        score = jnp.where(
+            human_c & has_human[:, None], score + F32(cfg.diff_thresh2) * stdev[:, None], score
+        )
+
+        # --- sort candidates by (score asc, depth asc) --------------------
+        # padding sorts FIRST so descending processing starts at the top score
+        depth_c = jnp.take(self.depth, cand, mode="clip")
+        sort_key = jnp.where(cmask, score, F32(-3.0e38))
+        order = jnp.lexsort((depth_c, sort_key), axis=1)  # [B,C] ascending
+
+        diff = stdev * F32(cfg.diff_thresh)
+        res = self._find_read_label(cand, score, depth_c, cmask, n_cand, order,
+                                    top_score, diff)
+
+        return {
+            "cand": cand, "cmask": cmask, "n_cand": n_cand, "score": score,
+            "order": order, "cand_kmer_cnt": cand_kmer_cnt, "cnt_fnd": cnt_fnd,
+            "valid_kmers": valid_kmers, "log_avg": log_avg, "stdev": stdev,
+            "top_score": top_score, "fnd_phix": fnd_phix, "phix_score": phix_score,
+            "overflow": overflow, **res,
+        }
+
+    # ------------------------------------------------------------------
+    def _find_read_label(self, cand, score, depth_c, cmask, n_cand, order,
+                         top_score, diff):
+        """Scan-based findReadLabelVer2 (read_label.cpp:284-419)."""
+        import jax
+        import jax.numpy as jnp
+
+        C = self.cfg.max_candidates
+        B = cand.shape[0]
+        D = self.max_path
+        bi = jnp.arange(B)
+
+        cand_s = cand[bi[:, None], order]      # sorted candidate idx [B,C]
+        score_s = score[bi[:, None], order]
+        depth_s = depth_c[bi[:, None], order]
+        valid_s = cmask[bi[:, None], order]
+
+        init = {
+            "lin": jnp.zeros((B, C), bool),
+            "lin_done": jnp.zeros(B, bool),
+            "lidx": jnp.full(B, -1, jnp.int32),
+            "lowest_depth": jnp.zeros(B, jnp.int32),
+            "lowest_i": jnp.zeros(B, jnp.int32),
+            "highest_depth": jnp.zeros(B, jnp.int32),
+            "highest_i": jnp.zeros(B, jnp.int32),
+            "plasmid_i": jnp.full(B, -1, jnp.int32),
+            "stopped": jnp.zeros(B, bool),
+            "first": jnp.ones(B, bool),
+        }
+
+        def body(state, j):
+            i = C - 1 - j
+            c = cand_s[:, i]
+            sc = score_s[:, i]
+            dp = depth_s[:, i]
+            ok_pos = valid_s[:, i] & ~state["stopped"]
+
+            pl = jnp.take(self.is_plasmid, c, mode="clip")
+            hit_pl = ok_pos & (sc >= top_score) & pl
+            plasmid_i = jnp.where(hit_pl, i, state["plasmid_i"])
+
+            # addToCandLineage test against current lineage members
+            m_depth = depth_s
+            in_lin = state["lin"]
+            a_cm = self._anc(c[:, None], cand_s)  # c ancestor of member
+            a_mc = self._anc(cand_s, c[:, None])  # member ancestor of c
+            bad = in_lin & (
+                ((m_depth > dp[:, None]) & ~a_cm)
+                | ((m_depth < dp[:, None]) & ~a_mc)
+                | (m_depth == dp[:, None])
+            )
+            can_add = ~jnp.any(bad, axis=1)
+            adding = ok_pos & ~state["lin_done"] & can_add
+            failing = ok_pos & ~state["lin_done"] & ~can_add
+
+            lin = state["lin"].at[:, i].set(state["lin"][:, i] | adding)
+            lin_done = state["lin_done"] | failing
+            lidx = jnp.where(failing, i, state["lidx"])
+
+            upd_low = adding & ((dp > state["lowest_depth"]) | state["first"])
+            lowest_depth = jnp.where(upd_low, dp, state["lowest_depth"])
+            lowest_i = jnp.where(upd_low, i, state["lowest_i"])
+            upd_high = adding & ((dp < state["highest_depth"]) | state["first"])
+            highest_depth = jnp.where(upd_high, dp, state["highest_depth"])
+            highest_i = jnp.where(upd_high, i, state["highest_i"])
+            first = state["first"] & ~ok_pos
+
+            stopped = state["stopped"] | (ok_pos & lin_done & (sc < top_score))
+            return {
+                "lin": lin, "lin_done": lin_done, "lidx": lidx,
+                "lowest_depth": lowest_depth, "lowest_i": lowest_i,
+                "highest_depth": highest_depth, "highest_i": highest_i,
+                "plasmid_i": plasmid_i, "stopped": stopped, "first": first,
+            }, None
+
+        state, _ = jax.lax.scan(body, init, jnp.arange(C))
+
+        # --- path augmentation of cand_lin --------------------------------
+        highest_c = cand_s[bi, state["highest_i"]]
+        hpath = jnp.take(self.path_mat, highest_c, axis=0)  # [B,D]
+        hvalid = (hpath >= 0) & (state["highest_depth"] > 0)[:, None]
+        # score of path nodes if they are candidates (all_cand_set)
+        in_cand = hpath[:, :, None] == cand_s[:, None, :]  # [B,D,C]
+        in_cand = in_cand & valid_s[:, None, :]
+        p_score = jnp.max(
+            jnp.where(in_cand, score_s[:, None, :], F32(UNDEF)), axis=2
+        )
+        p_in_set = jnp.any(in_cand, axis=2)
+        p_score = jnp.where(p_in_set, p_score, F32(UNDEF))
+
+        # combined lineage = lineage members + path entries, sorted depth desc
+        comb_idx = jnp.concatenate([cand_s, hpath], axis=1)          # [B,C+D]
+        comb_score = jnp.concatenate([score_s, p_score], axis=1)
+        comb_valid = jnp.concatenate([state["lin"], hvalid], axis=1)
+        comb_depth = jnp.take(self.depth, comb_idx, mode="clip")
+        dkey = jnp.where(comb_valid, -comb_depth, 10**6)
+        corder = jnp.argsort(dkey, axis=1, stable=True)
+        lin_idx = comb_idx[bi[:, None], corder]
+        lin_score = comb_score[bi[:, None], corder]
+        lin_valid = comb_valid[bi[:, None], corder]
+
+        # --- competing-lineage walk (no_good accumulation) ----------------
+        CD = C + D
+        anc_lc = self._anc(lin_idx[:, :, None], cand_s[:, None, :])  # [B,CD,C] lin anc-of cand
+        in_add_set = self._anc(cand_s, highest_c[:, None])           # cand in path(highest)
+
+        def comp_body(st, j):
+            i_arr = st["i"]
+            active = (i_arr >= 0) & ~st["halt"]
+            i = jnp.maximum(i_arr, 0)
+            csc = score_s[bi, i]
+            skip = in_add_set[bi, i] | ~valid_s[bi, i]
+            do = active & ~skip
+            # inner walk over combined lineage (vectorized with prefix logic)
+            anc_here = anc_lc[bi, :, i]                       # [B,CD]
+            far = lin_valid & (lin_score != F32(UNDEF)) & (
+                (lin_score - csc[:, None]) > diff[:, None]
+            )
+            # walk stops at the first ancestor-of-cand or far entry
+            stop = (anc_here | far) & lin_valid
+            stop_pos = jnp.argmax(stop, axis=1)
+            any_stop = jnp.any(stop, axis=1)
+            reach = jnp.arange(CD)[None, :] < jnp.where(any_stop, stop_pos, CD)[:, None]
+            close = lin_valid & ((lin_score - csc[:, None]) <= diff[:, None])
+            mark = reach & close & do[:, None]
+            no_good = st["no_good"] | mark
+            stopped_far = do & any_stop & far[bi, stop_pos]
+            halt = st["halt"] | stopped_far
+            return {"no_good": no_good, "halt": halt, "i": i_arr - 1}, None
+
+        comp_init = {
+            "no_good": jnp.zeros((B, CD), bool),
+            "halt": jnp.zeros(B, bool),
+            "i": state["lidx"],
+        }
+        comp_state, _ = jax.lax.scan(comp_body, comp_init, jnp.arange(C))
+        no_good_e = comp_state["no_good"]  # over combined entries pre-sort? no: entries [B,CD] in comb order
+
+        # node-level no_good: an entry's node is no_good if any marked entry
+        # shares its node id
+        ng_nodes = jnp.any(
+            (lin_idx[:, :, None] == lin_idx[:, None, :]) & no_good_e[:, None, :],
+            axis=2,
+        )
+
+        any_lin = jnp.any(comb_valid, axis=1)
+        any_ng = jnp.any(no_good_e, axis=1)
+
+        # DirectMatch call = lowest
+        lowest_c = cand_s[bi, state["lowest_i"]]
+        lowest_sc = score_s[bi, state["lowest_i"]]
+
+        # Multi branch: walk lin (depth desc) for first node not in no_good
+        run_max = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(lin_valid, lin_score, F32(UNDEF)), axis=1
+        )
+        ok_node = lin_valid & ~ng_nodes
+        root_pos = jnp.argmax(ok_node, axis=1)
+        found_root = jnp.any(ok_node, axis=1)
+        lca_c = lin_idx[bi, root_pos]
+        max_val = run_max[bi, root_pos]
+
+        DIRECT, MULTI, PARTIAL, NOMATCH, LCA_ERROR = 0, 1, 2, 3, 4
+        match = jnp.where(
+            ~any_lin & ~any_ng,
+            NOMATCH,
+            jnp.where(
+                any_lin & ~any_ng,
+                DIRECT,
+                jnp.where(found_root, MULTI, LCA_ERROR),
+            ),
+        )
+        call_c = jnp.where(match == DIRECT, lowest_c, jnp.where(match == MULTI, lca_c, 0))
+        call_s = jnp.where(
+            match == DIRECT, lowest_sc,
+            jnp.where(match == MULTI, max_val, F32(-1.0)),
+        )
+        # plasmid override
+        has_pl = state["plasmid_i"] >= 0
+        pl_c = cand_s[bi, jnp.maximum(state["plasmid_i"], 0)]
+        override = has_pl & self._anc(call_c, pl_c)
+        call_c = jnp.where(override, pl_c, call_c)
+        return {"call_idx": call_c, "call_score": call_s, "match": match}

@@ -146,3 +146,35 @@ def _heap_sort(a, first, last, comp):
         value = a[cur - 1]
         a[cur - 1] = a[first]
         _adjust_heap(a, first, 0, cur - 1 - first, value, comp)
+
+
+class CppPriorityQueue:
+    """std::priority_queue clone with libstdc++ push_heap/pop_heap element
+    order, including the (unspecified-but-deterministic) order of equivalent
+    elements — needed to replicate TaxNodeStat's rank-priority pruning
+    (TaxNodeStat.hpp:151-206) where the comparator only inspects priorities.
+    comp(x, y) means "x < y"; top() is the maximum."""
+
+    def __init__(self, comp):
+        self._a = []
+        self._comp = comp
+
+    def push(self, value):
+        a = self._a
+        a.append(value)
+        _push_heap(a, 0, len(a) - 1, 0, value, self._comp)
+
+    def pop(self):
+        a = self._a
+        top = a[0]
+        value = a[-1]
+        del a[-1]
+        if a:
+            _adjust_heap(a, 0, 0, len(a), value, self._comp)
+        return top
+
+    def top(self):
+        return self._a[0]
+
+    def __len__(self):
+        return len(self._a)

@@ -147,6 +147,70 @@ class Taxonomy:
 
     # -- dense arrays for device use ----------------------------------------
 
+    def device_arrays(self):
+        """Arrays for the device scorer (all indexed by dense node index):
+
+          tids         int64 [N]    sorted taxids
+          index        dict tid->idx
+          parent_idx   int32 [N]
+          depth        int32 [N]    from the -e depth file (scoring depth)
+          path_mat     int32 [N,D]  ancestor idx chain (parent..root), -1 pad
+          euler_in/out int32 [N]    is_proper_ancestor(a, d):
+                                    in[a] < in[d] and out[d] <= out[a] (a != d)
+          rank_code    int8  [N]    0 other, 1 strain, 2 species
+          species_anc  int32 [N]    first species-ranked ancestor (or -1)
+        """
+        tids, index, parent_idx, depth, path_mat = self.dense()
+        n = len(tids)
+        children: dict[int, list[int]] = {}
+        root = None
+        for i, t in enumerate(tids):
+            p = int(parent_idx[i])
+            if p == i:
+                root = i
+            else:
+                children.setdefault(p, []).append(i)
+        euler_in = np.zeros(n, np.int32)
+        euler_out = np.zeros(n, np.int32)
+        clock = 0
+        stack = [(root, False)]
+        while stack:
+            node, done = stack.pop()
+            if done:
+                euler_out[node] = clock
+                continue
+            euler_in[node] = clock
+            clock += 1
+            stack.append((node, True))
+            for ch in reversed(children.get(node, [])):
+                stack.append((ch, False))
+        rank_code = np.zeros(n, np.int8)
+        for i, t in enumerate(tids):
+            r = self.rank.get(int(t))
+            if r == "strain":
+                rank_code[i] = 1
+            elif r == "species":
+                rank_code[i] = 2
+        species_anc = np.full(n, -1, np.int32)
+        for i in range(n):
+            for j in path_mat[i]:
+                if j < 0:
+                    break
+                if rank_code[j] == 2:
+                    species_anc[i] = j
+                    break
+        return {
+            "tids": tids,
+            "index": index,
+            "parent_idx": parent_idx,
+            "depth": depth,
+            "path_mat": path_mat,
+            "euler_in": euler_in,
+            "euler_out": euler_out,
+            "rank_code": rank_code,
+            "species_anc": species_anc,
+        }
+
     def dense(self):
         """Compact arrays: tids (sorted), tid->idx dict, parent_idx, depth,
         and a padded ancestor-path matrix (indices, -1 padded, excluding self).

@@ -37,8 +37,12 @@ RL_FLAGS="-e $FIX/depth.dat -c $FIX/taxtree.dat -d $WORK/fixture.db \
 
 # 4b. with null models, if they exist (see gen_null.sh)
 if [ -f "$FIX"/null_lst.txt ]; then
-    MALLOC_CHECK_=3 LMAT_DIR=$FIX "$BIN"/read_label $RL_FLAGS -n "$FIX"/null_lst.txt \
-        -o "$WORK"/rl_null > "$WORK"/rl_null.log 2>&1
+    # guard-page allocator: the reference has a latent wild-free that can
+    # corrupt later allocations under the stock allocator (slow but safe;
+    # needs a raised vm.max_map_count)
+    sysctl -w vm.max_map_count=8000000 >/dev/null 2>&1 || true
+    LMAT_DIR=$FIX LD_PRELOAD=$ORACLE/efence.so "$BIN"/read_label $RL_FLAGS \
+        -n "$FIX"/null_lst.txt -o "$WORK"/rl_null > "$WORK"/rl_null.log 2>&1
 fi
 
 echo "golden outputs in $WORK"

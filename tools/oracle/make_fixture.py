@@ -58,7 +58,7 @@ def children_map():
 def write_taxonomy(outdir):
     ch = children_map()
     with open(os.path.join(outdir, "taxtree.dat"), "w") as f:
-        f.write("fixture taxonomy\nLMAT tree format\n")
+        f.write("#fixture taxonomy\n#LMAT tree format\n")
         f.write(f"{len(TAX)}\n")
         for t in sorted(TAX):
             kids = sorted(ch[t])
