@@ -1,16 +1,17 @@
 #!/usr/bin/env python3
-"""Benchmark: batched k-mer probe throughput on one chip.
+"""Benchmark: end-to-end fast-mode classification throughput on one chip.
 
-Builds a deterministic synthetic DB (default 8M k-mers), generates reads
-half-composed of DB k-mers, and times the jitted device probe pipeline
-(encode -> canonical k-mers -> dedup -> GC stats -> two-level index probe).
+Builds a deterministic synthetic DB + taxonomy, synthesizes reads (half with
+DB hits), runs the full jitted pipeline (encode -> canonical k-mers -> dedup
+-> GC -> two-level probe -> device scorer) plus host line formatting, and
+reports reads/s.
 
 Prints ONE json line:
-  {"metric": "kmer_lookups_per_sec", "value": N, "unit": "lookups/s",
-   "vs_baseline": N / 4.2e5}
+  {"metric": "reads_per_sec_e2e", "value": N, "unit": "reads/s",
+   "vs_baseline": N / 2317}
 
-Baseline: the reference processes ~4.2e5 k-mer positions/s on its bundled
-example (8 OpenMP threads; BASELINE.md row 1).
+Baseline: the reference classifies 2317 reads/s on its bundled example
+(8 OpenMP threads, BASELINE.md row 1).
 """
 
 import json
@@ -21,104 +22,129 @@ import time
 import numpy as np
 
 K = 20
-N_KMERS = int(os.environ.get("BENCH_KMERS", 8_000_000))
+N_KMERS = int(os.environ.get("BENCH_KMERS", 4_000_000))
+N_TAXA_LEAF = int(os.environ.get("BENCH_TAXA", 20_000))
 B = int(os.environ.get("BENCH_BATCH", 512))
 L = int(os.environ.get("BENCH_READLEN", 200))
+N_BATCHES = int(os.environ.get("BENCH_BATCHES", 10))
 MAX_TIDS = 8
-BASELINE_LOOKUPS_PER_SEC = 4.2e5
+BASELINE_READS_PER_SEC = 2317.0
 
 
-def build_synthetic_index():
+def build_taxonomy():
+    """Synthetic 4-level taxonomy: root -> 100 genera -> species -> strains."""
+    from lmat_tpu.core.taxonomy import Taxonomy
+
+    parent, names, children = {1: 1}, {1: "root"}, {1: set()}
+
+    def add(tid, par, name):
+        parent[tid] = par
+        names[tid] = name
+        children[tid] = set()
+        children[par].add(tid)
+
+    rng = np.random.default_rng(7)
+    leaves = []
+    tid = 2
+    for g in range(100):
+        gid = tid; tid += 1
+        add(gid, 1, f"genus{g}")
+        for s in range(10):
+            sid = tid; tid += 1
+            add(sid, gid, f"species{g}.{s}")
+            n_strains = max(1, N_TAXA_LEAF // 1000)
+            for st in range(n_strains):
+                lid = tid; tid += 1
+                add(lid, sid, f"strain{g}.{s}.{st}")
+                leaves.append(lid)
+    tax = Taxonomy(parent, names, children)
+    for t in parent:
+        d = len(tax.path_to_root(t))
+        tax.depth[t] = d
+        tax.rank[t] = "no_rank" if d == 0 else ["genus", "species", "strain"][d - 1]
+    return tax, np.array(leaves)
+
+
+def build_index(tax, leaves):
     from lmat_tpu.core.index import KmerIndex
 
     rng = np.random.default_rng(12345)
     kmers = np.unique(rng.integers(0, 1 << (2 * K), size=N_KMERS, dtype=np.uint64))
-    # ragged taxid lists, 1..MAX_TIDS entries (zipf-ish: mostly singletons)
     lens = np.minimum(rng.geometric(0.6, size=kmers.shape[0]), MAX_TIDS)
     total = int(lens.sum())
-    tid_flat = rng.integers(1, 400_000, size=total, dtype=np.uint32)
+    tid_flat = rng.choice(leaves, size=total).astype(np.uint32)
     tid_start = np.zeros(kmers.shape[0] + 1, np.int64)
     tid_start[1:] = np.cumsum(lens)
     idx = KmerIndex(
-        k=K,
-        bucket_start=None,
-        suffix=None,
-        tid_start=tid_start,
-        tid_flat=tid_flat,
-        ng=lens.astype(np.uint16),
-        max_tids=MAX_TIDS,
+        k=K, bucket_start=None, suffix=None, tid_start=tid_start,
+        tid_flat=tid_flat, ng=lens.astype(np.uint16), max_tids=MAX_TIDS,
         search_depth=1,
     )
-    # pack via the standard builder path (sorted arrays)
     n_buckets = 1 << (2 * K - 20)
     bucket = (kmers >> np.uint64(20)).astype(np.int64)
-    bucket_start = np.zeros(n_buckets + 1, np.int64)
-    np.add.at(bucket_start, bucket + 1, 1)
-    idx.bucket_start = np.cumsum(bucket_start).astype(np.int32)
+    bs = np.zeros(n_buckets + 1, np.int64)
+    np.add.at(bs, bucket + 1, 1)
+    idx.bucket_start = np.cumsum(bs).astype(np.int32)
     idx.suffix = (kmers & np.uint64((1 << 20) - 1)).astype(np.uint32)
-    max_bucket = int(np.max(np.diff(idx.bucket_start)))
-    idx.search_depth = max(1, int(np.ceil(np.log2(max_bucket + 1))))
+    idx.search_depth = max(1, int(np.ceil(np.log2(int(np.max(np.diff(idx.bucket_start))) + 1))))
     return idx, kmers
 
 
-def make_reads(kmers, rng):
-    """Reads whose 20-mers sometimes hit the DB: embed DB k-mers as seed
-    sequence, mutate lightly."""
-    from lmat_tpu.core.encoding import pack64  # noqa: F401
-
+def make_reads(kmers, rng, n):
     bases = np.frombuffer(b"ACGT", np.uint8)
-    batch = rng.choice(bases, size=(B, L))
-    # overwrite half the reads with decoded db k-mers tiled
-    picks = rng.choice(kmers.shape[0], size=(B // 2, L // K + 1))
-    for i in range(B // 2):
+    batch = rng.choice(bases, size=(n, L))
+    picks = rng.choice(kmers.shape[0], size=(n // 2, L // K + 1))
+    for i in range(n // 2):
         seq = []
         for j in picks[i]:
             km = int(kmers[j])
-            s = [(km >> (2 * (K - 1 - t))) & 3 for t in range(K)]
-            seq.extend(s)
-        arr = np.array(seq[:L], np.uint8)
-        batch[i] = bases[arr]
-    return batch
+            seq.extend((km >> (2 * (K - 1 - t))) & 3 for t in range(K))
+        batch[i] = bases[np.array(seq[:L], np.uint8)]
+    reads = []
+    for i in range(n):
+        reads.append((f"r{i}", bytes(batch[i]).decode()))
+    return reads
 
 
 def main():
     t_setup = time.time()
     import jax
 
-    idx, kmers = build_synthetic_index()
+    from lmat_tpu.apps.read_label_fast import FastClassifier
+    from lmat_tpu.apps.read_label_score_device import DeviceScorer, DeviceScorerConfig
+
+    tax, leaves = build_taxonomy()
+    idx, kmers = build_index(tax, leaves)
+    cfg = DeviceScorerConfig(max_candidates=64, min_kmer=30)
+    scorer = DeviceScorer(tax, cfg)
+    remapped = scorer.remap_index_tids(idx)
+    fast = FastClassifier(remapped.to_device(), scorer, k=K)
+
     rng = np.random.default_rng(99)
-    batch = make_reads(kmers, rng)
+    batches = [make_reads(kmers, rng, B) for _ in range(N_BATCHES)]
+    fast.classify_batch(batches[0])  # warm/compile
 
-    from lmat_tpu.apps.read_label_device import DevicePipeline
-
-    pipe = DevicePipeline(idx.to_device(), k=K)
-    batch = jax.device_put(batch)
-    out = pipe(batch)
-    jax.block_until_ready(out["found"])  # compile + warm
-    n_queries = B * (L - K + 1)
-
-    reps = 20
     t0 = time.time()
-    for _ in range(reps):
-        out = pipe(batch)
-    jax.block_until_ready(out["found"])
-    dt = (time.time() - t0) / reps
-    lookups_per_sec = n_queries / dt
+    n_reads = 0
+    for reads in batches:
+        lines = fast.classify_batch(reads)
+        n_reads += len(lines)
+    dt = time.time() - t0
+    rps = n_reads / dt
 
     print(
         json.dumps(
             {
-                "metric": "kmer_lookups_per_sec",
-                "value": round(lookups_per_sec, 1),
-                "unit": "lookups/s",
-                "vs_baseline": round(lookups_per_sec / BASELINE_LOOKUPS_PER_SEC, 2),
+                "metric": "reads_per_sec_e2e",
+                "value": round(rps, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 2),
             }
         )
     )
     print(
-        f"# setup {time.time() - t_setup:.1f}s; {n_queries} queries/batch, "
-        f"{dt * 1e3:.2f} ms/batch; db {idx.n_kmers} kmers, "
-        f"search_depth {idx.search_depth}",
+        f"# setup {t_setup and time.time() - t_setup:.1f}s; {n_reads} reads in "
+        f"{dt:.2f}s; db {idx.n_kmers} kmers; {len(tax.parent)} taxa",
         file=sys.stderr,
     )
 
