@@ -72,7 +72,14 @@ def build_index(tax, leaves):
     kmers = np.unique(rng.integers(0, 1 << (2 * K), size=N_KMERS, dtype=np.uint64))
     lens = np.minimum(rng.geometric(0.6, size=kmers.shape[0]), MAX_TIDS)
     total = int(lens.sum())
-    tid_flat = rng.choice(leaves, size=total).astype(np.uint32)
+    # realistic LCA-collapsed lists: the tids of one k-mer come from a single
+    # species clade (random leaves would explode candidate sets)
+    n_species = leaves.shape[0] // max(1, N_TAXA_LEAF // 1000)
+    strains_per = max(1, N_TAXA_LEAF // 1000)
+    species_of = rng.integers(0, n_species, size=kmers.shape[0])
+    offs = rng.integers(0, strains_per, size=total)
+    rep = np.repeat(species_of, lens)
+    tid_flat = leaves[(rep * strains_per + offs) % leaves.shape[0]].astype(np.uint32)
     tid_start = np.zeros(kmers.shape[0] + 1, np.int64)
     tid_start[1:] = np.cumsum(lens)
     idx = KmerIndex(
@@ -87,16 +94,25 @@ def build_index(tax, leaves):
     idx.bucket_start = np.cumsum(bs).astype(np.int32)
     idx.suffix = (kmers & np.uint64((1 << 20) - 1)).astype(np.uint32)
     idx.search_depth = max(1, int(np.ceil(np.log2(int(np.max(np.diff(idx.bucket_start))) + 1))))
-    return idx, kmers
+    # group k-mer indices by species so bench reads stay clade-coherent
+    order = np.argsort(species_of, kind="stable")
+    bounds = np.searchsorted(species_of[order], np.arange(n_species + 1))
+    return idx, kmers, (order, bounds)
 
 
-def make_reads(kmers, rng, n):
+def make_reads(kmers, groups, rng, n):
+    order, bounds = groups
+    n_species = bounds.shape[0] - 1
     bases = np.frombuffer(b"ACGT", np.uint8)
     batch = rng.choice(bases, size=(n, L))
-    picks = rng.choice(kmers.shape[0], size=(n // 2, L // K + 1))
     for i in range(n // 2):
+        s = int(rng.integers(0, n_species))
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        if hi <= lo:
+            continue
+        picks = order[rng.integers(lo, hi, size=L // K + 1)]
         seq = []
-        for j in picks[i]:
+        for j in picks:
             km = int(kmers[j])
             seq.extend((km >> (2 * (K - 1 - t))) & 3 for t in range(K))
         batch[i] = bases[np.array(seq[:L], np.uint8)]
@@ -114,14 +130,14 @@ def main():
     from lmat_tpu.apps.read_label_score_device import DeviceScorer, DeviceScorerConfig
 
     tax, leaves = build_taxonomy()
-    idx, kmers = build_index(tax, leaves)
+    idx, kmers, groups = build_index(tax, leaves)
     cfg = DeviceScorerConfig(max_candidates=64, min_kmer=30)
     scorer = DeviceScorer(tax, cfg)
     remapped = scorer.remap_index_tids(idx)
     fast = FastClassifier(remapped.to_device(), scorer, k=K)
 
     rng = np.random.default_rng(99)
-    batches = [make_reads(kmers, rng, B) for _ in range(N_BATCHES)]
+    batches = [make_reads(kmers, groups, rng, B) for _ in range(N_BATCHES)]
     fast.classify_batch(batches[0])  # warm/compile
 
     t0 = time.time()

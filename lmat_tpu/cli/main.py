@@ -1,0 +1,241 @@
+"""lmat-tpu command line.
+
+Subcommands mirror the reference's binaries and pipeline scripts
+(bin/run_rl.sh, run_gl.sh, run_cs.sh): a runtime-input directory (--lmat-dir,
+or $LMAT_DIR) anchors the taxonomy/depth/rank/null-model files using the same
+naming conventions, and output files follow the reference layout so the
+downstream tooling interoperates.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _lmat_dir(args):
+    d = args.lmat_dir or os.environ.get("LMAT_DIR")
+    if not d:
+        sys.exit("set --lmat-dir or $LMAT_DIR")
+    return d
+
+
+def _load_runtime(args):
+    """Resolve the runtime-input bundle (run_rl.sh:50-58 conventions, with
+    fallbacks to generic names)."""
+    from ..core.taxonomy import Taxonomy
+
+    d = _lmat_dir(args)
+
+    def find(*names):
+        for n in names:
+            p = os.path.join(d, n)
+            if os.path.exists(p):
+                return p
+        return None
+
+    tree = args.tax_tree or find(
+        "ncbi_taxonomy.segment.pruned.dat.nohl", "taxtree.dat"
+    )
+    depth = args.depth or find("depth_for_ncbi_taxonomy.segment.pruned.dat", "depth.dat")
+    rank = args.rank_file or find("ncbi_taxid_to_rank.pruned.txt", "ranks.dat")
+    rank_ids = args.rank_ids or find("ncbi_taxonomy_rank.segment.pruned.txt", "taxids.info")
+    tax = Taxonomy.from_lmat_file(tree)
+    if depth:
+        tax.load_depth_file(depth)
+    if rank:
+        tax.load_rank_file(rank)
+    return tax, {"tree": tree, "depth": depth, "rank": rank, "rank_ids": rank_ids, "dir": d}
+
+
+def cmd_make_db(args):
+    from ..apps import make_db
+    from ..core.taxonomy import Taxonomy
+
+    if args.tax_histo:
+        idx = make_db.build_from_tax_histo(args.inputs, k=args.k, max_tids=args.max_tids)
+    else:
+        tax = Taxonomy.from_lmat_file(args.tax_tree)
+        idx = make_db.build_native(
+            args.inputs[0], tax, k=args.k, max_tids=args.max_tids,
+            tid_cutoff=args.tid_cutoff,
+        )
+    idx.save(args.output)
+    print(f"db: {idx.n_kmers} k-mers -> {args.output}")
+
+
+def cmd_read_label(args):
+    from ..apps.run_read_label import run as rl_run
+
+    rl_run(args)
+
+
+def cmd_run_rl(args):
+    """Pipeline step 1 (run_rl.sh): classify + lineage + rank reports."""
+    from ..apps.run_read_label import run as rl_run
+    from ..reporting.fsreport import TaxFiles, fsreport
+    from ..reporting.tolineage import tolineage
+
+    tax, files = _load_runtime(args)
+    qname = os.path.basename(args.reads)
+    dbname = os.path.basename(args.db.rstrip("/"))
+    rlofile = os.path.join(args.odir, f"{qname}.{dbname}.lo.rl_output")
+    ns = argparse.Namespace(
+        db=args.db, reads=args.reads, tax_tree=files["tree"], depth=files["depth"],
+        rank_file=files["rank"], rank_ids=files["rank_ids"],
+        null_list=args.nullm, lmat_dir=files["dir"], output=rlofile,
+        min_score=args.min_score, min_kmer=args.min_read_kmer,
+        sdiff=args.sdiff, hbias=args.hbias, fastq=args.reads.endswith((".fq", ".fastq")),
+    )
+    rl_run(ns)
+    fastsum = f"{rlofile}.{args.min_score if args.min_score else '0'}.{args.min_read_kmer}.fastsummary"
+    tolineage(files["rank_ids"], fastsum, fastsum + ".lineage", 10, 0.0)
+    d = files["dir"]
+    tf = TaxFiles(
+        files["tree"], files["rank"],
+        os.path.join(d, "low_numid_plasmids.txt"),
+        os.path.join(d, "plasmid.names.txt"),
+    )
+    fsreport(fastsum, "plasmid,species,genus", args.odir, tf)
+    print(f"pipeline outputs at {rlofile}*")
+
+
+def cmd_gene_label(args):
+    from ..apps.gene_label import GeneLabeler, GeneLabelOptions
+    from ..apps.make_db import build_from_kpc
+    from ..core.index import KmerIndex
+
+    if os.path.isdir(args.db):
+        gidx = KmerIndex.load(args.db)
+    else:
+        gidx = build_from_kpc(args.db, k=args.k, max_tids=args.max_tids)
+    gl = GeneLabeler(
+        gidx,
+        GeneLabelOptions(
+            min_score=args.min_score, min_kmer=args.min_kmer,
+            min_tax_score=args.min_tax_score, k=args.k,
+        ),
+    )
+    gl.run_files(args.inputs, args.output)
+    gl.write_summaries(args.gene_table, args.output)
+    print(f"gene summaries at {args.output}*")
+
+
+def cmd_content_summ(args):
+    from ..apps.content_summ import ContentSummarizer, ContentSummOptions
+
+    tax, files = _load_runtime(args)
+    k_list = tuple(int(x) for x in args.k_list.split(","))
+    cs = ContentSummarizer(
+        tax, ContentSummOptions(k_list=k_list, rank_check=tuple(args.ranks.split(","))),
+    )
+    cs.load_fastsummary(args.fastsummary)
+    for p in args.inputs:
+        cs.process_out_file(p)
+    cs.write_summ(args.output)
+    from ..reporting.summary import Summary
+
+    d = files["dir"]
+    plas = os.path.join(d, "low_numid_plasmids.txt")
+    if os.path.exists(plas) and files["rank"]:
+        s = Summary(files["rank"], args.fastsummary, plas)
+        s.run(args.output, args.output + ".ordered", args.ranks)
+    print(f"content summary at {args.output}*")
+
+
+def cmd_rand_read_label(args):
+    from ..apps.make_db import build_from_tax_histo
+    from ..apps.rand_read_label import RandReadLabeler
+    from ..core.index import KmerIndex
+
+    tax, files = _load_runtime(args)
+    idx = KmerIndex.load(args.db)
+    rrl = RandReadLabeler(tax, idx)
+    rrl.run(num_reads=args.num_reads, read_len=args.read_len, seed=args.seed)
+    rrl.write_rand_lst(args.output + ".rand_lst")
+    print(f"null observations at {args.output}.rand_lst")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="lmat-tpu")
+    ap.add_argument("--lmat-dir", default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("make-db", help="build a k-mer index")
+    p.add_argument("-i", "--inputs", nargs="+", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-k", type=int, default=20)
+    p.add_argument("--tax-tree")
+    p.add_argument("--tax-histo", action="store_true", help="inputs are tax_histo binaries")
+    p.add_argument("--max-tids", type=int, default=16)
+    p.add_argument("--tid-cutoff", type=int, default=0)
+    p.set_defaults(fn=cmd_make_db)
+
+    p = sub.add_parser("read-label", help="classify reads (host index)")
+    p.add_argument("-d", "--db", required=True)
+    p.add_argument("-i", "--reads", required=True)
+    p.add_argument("-c", "--tax-tree", required=True)
+    p.add_argument("-e", "--depth", required=True)
+    p.add_argument("-w", "--rank-file")
+    p.add_argument("-u", "--rank-ids", required=True)
+    p.add_argument("-n", "--null-list")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-x", "--min-score", type=float, default=0.0)
+    p.add_argument("-j", "--min-kmer", type=int, default=30)
+    p.add_argument("-b", "--sdiff", type=float, default=1.0)
+    p.add_argument("-l", "--hbias", type=float, default=0.0)
+    p.add_argument("-q", "--fastq", action="store_true")
+    p.set_defaults(fn=cmd_read_label)
+
+    p = sub.add_parser("run-rl", help="pipeline: classify + reports (run_rl.sh)")
+    p.add_argument("--db_file", dest="db", required=True)
+    p.add_argument("--query_file", dest="reads", required=True)
+    p.add_argument("--odir", default=".")
+    p.add_argument("--min_score", dest="min_score", type=float, default=0.0)
+    p.add_argument("--min_read_kmer", type=int, default=30)
+    p.add_argument("--sdiff", type=float, default=1.0)
+    p.add_argument("--hbias", type=float, default=0.0)
+    p.add_argument("--nullm", default=None)
+    p.add_argument("--tax-tree"), p.add_argument("--depth")
+    p.add_argument("--rank-file"), p.add_argument("--rank-ids")
+    p.set_defaults(fn=cmd_run_rl)
+
+    p = sub.add_parser("gene-label", help="gene annotation pass (run_gl.sh)")
+    p.add_argument("-l", "--inputs", nargs="+", required=True)
+    p.add_argument("-d", "--db", required=True)
+    p.add_argument("-g", "--gene-table", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-x", "--min-score", type=float, default=0.1)
+    p.add_argument("-q", "--min-kmer", type=int, default=20)
+    p.add_argument("-b", "--min-tax-score", type=float, default=0.0)
+    p.add_argument("-k", type=int, default=20)
+    p.add_argument("--max-tids", type=int, default=32)
+    p.set_defaults(fn=cmd_gene_label)
+
+    p = sub.add_parser("content-summ", help="content summarization (run_cs.sh)")
+    p.add_argument("-f", "--inputs", nargs="+", required=True)
+    p.add_argument("-l", "--fastsummary", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-k", "--k-list", default="8,10,12,14,17")
+    p.add_argument("-a", "--ranks", default="plasmid,species,genus")
+    p.add_argument("--tax-tree"), p.add_argument("--depth")
+    p.add_argument("--rank-file"), p.add_argument("--rank-ids")
+    p.set_defaults(fn=cmd_content_summ)
+
+    p = sub.add_parser("rand-read-label", help="null model observations")
+    p.add_argument("-d", "--db", required=True)
+    p.add_argument("-g", "--num-reads", type=int, required=True)
+    p.add_argument("-i", "--read-len", type=int, required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tax-tree"), p.add_argument("--depth")
+    p.add_argument("--rank-file"), p.add_argument("--rank-ids")
+    p.set_defaults(fn=cmd_rand_read_label)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
