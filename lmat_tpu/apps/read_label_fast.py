@@ -37,10 +37,26 @@ class FastClassifier:
         self.dev_index = dev_index
         cfg = scorer.cfg
 
+        import jax.numpy as jnp
+
         def step(batch):
             prep = prepare_reads(batch, k)
             pr = probe(dev_index, prep)
-            return scorer.score_batch(pr)
+            out = scorer.score_batch(pr)
+            # pack outputs to minimize host transfers (matters over slow
+            # host<->device links)
+            ints = jnp.stack(
+                [out["call_idx"], out["match"], out["n_cand"],
+                 out["cand_kmer_cnt"], out["cnt_fnd"], out["valid_kmers"],
+                 out["fnd_phix"].astype(jnp.int32)],
+                axis=1,
+            )
+            flts = jnp.stack(
+                [out["call_score"], out["log_avg"], out["stdev"],
+                 out["top_score"], out["phix_score"]],
+                axis=1,
+            )
+            return ints, flts, out["cand"], out["score"], out["order"], out["overflow"]
 
         self.step = jax.jit(step)
         self.track_count: dict[int, int] = {}
@@ -51,73 +67,71 @@ class FastClassifier:
         """reads: [(header, seq)]; writes lines to `out` (list or file)."""
         cfg = self.scorer.cfg
         batch = pad_batch([s for _, s in reads])
-        res = {k: np.asarray(v) for k, v in self.step(batch).items()}
-        assert int(res["overflow"]) == 0, "candidate cap overflow; raise max_candidates"
-        tids = self.scorer.tids
+        ints, flts, cand, score, order, overflow = self.step(batch)
+        res = {
+            "ints": np.asarray(ints).tolist(),
+            "flts": np.asarray(flts).tolist(),
+            "cand": np.asarray(cand).tolist(),
+            "score": np.asarray(score).tolist(),
+            "order": np.asarray(order).tolist(),
+        }
+        assert int(overflow) == 0, "candidate cap overflow; raise max_candidates"
         lines = []
         for i, (hdr, seq) in enumerate(reads):
-            prefix = f"{hdr}\t{seq}\t"
-            line = prefix + self._finish_read(i, seq, res, cfg)
+            line = f"{hdr}\t{seq}\t" + self._finish_read(i, seq, res, cfg)
             lines.append(line)
-            if out is not None:
-                out.write(line + "\n")
+        if out is not None:
+            out.write("\n".join(lines) + "\n")
         return lines
 
     def _finish_read(self, i, seq, res, cfg) -> str:
         tids = self.scorer.tids
+        call_idx, match, n_cand, cand_kmer_cnt, cnt_fnd, valid_kmers, fnd_phix = res["ints"][i]
+        call_score, log_avg, stdev, top_score, phix_score = res["flts"][i]
         ri_len = len(seq)
         if ri_len < self.k:
             self._nomatch(READ_TOO_SHORT)
             return f"-1 -1 -1\t-1 -1\t{ri_len} {self.k} ReadTooShort"
-        valid_kmers = int(res["valid_kmers"][i])
         if valid_kmers < cfg.min_kmer:
             self._nomatch(READ_TOO_SHORT)
             return f"-1 -1 -1\t-1 -1\t{valid_kmers} {cfg.min_kmer} ReadTooShort"
-        n_cand = int(res["n_cand"][i])
         if n_cand == 0:
             self._nomatch(NO_DB_HITS)
             return f"-1 -1 {valid_kmers}\t-1 -1\t{ri_len} {self.k} NoDbHits"
-        cnt_fnd = int(res["cnt_fnd"][i])
-        cand_kmer_cnt = int(res["cand_kmer_cnt"][i])
         if cnt_fnd < cfg.min_fnd_kmer or cand_kmer_cnt < cfg.min_kmer:
             self._nomatch(NO_DB_HITS)
             return ""  # reference writes nothing for this case
 
         # phiX short-circuit
-        if cfg.screen_phix and bool(res["fnd_phix"][i]):
-            ps = F(res["phix_score"][i])
-            if ps >= F(res["top_score"][i]):
-                self._track(ART_SEQ_TID, ps)
-                return (
-                    f"-1 -1 {cand_kmer_cnt}\t{ART_SEQ_TID} {fmt_float(ps)}\t"
-                    f"{ART_SEQ_TID} {fmt_float(ps)} DirectMatch"
-                )
+        if cfg.screen_phix and fnd_phix and F(phix_score) >= F(top_score):
+            ps = F(phix_score)
+            self._track(ART_SEQ_TID, ps)
+            return (
+                f"-1 -1 {cand_kmer_cnt}\t{ART_SEQ_TID} {fmt_float(ps)}\t"
+                f"{ART_SEQ_TID} {fmt_float(ps)} DirectMatch"
+            )
 
-        parts = [
-            f"{fmt_float(res['log_avg'][i])} {fmt_float(res['stdev'][i])} {cand_kmer_cnt}\t"
-        ]
-        order = res["order"][i]
-        score = res["score"][i]
-        cmask = res["cmask"][i]
-        cand = res["cand"][i]
+        parts = [f"{fmt_float(log_avg)} {fmt_float(stdev)} {cand_kmer_cnt}\t"]
+        order_i = res["order"][i]
+        score_i = res["score"][i]
+        cand_i = res["cand"][i]
         printed = False
-        for j in range(len(order) - 1, -1, -1):
-            c = order[j]
-            if cmask[c] and score[c] >= 0:
-                parts.append(f" {int(tids[cand[c]])} {fmt_float(score[c])}")
+        for j in range(len(order_i) - 1, -1, -1):
+            c = order_i[j]
+            if c < n_cand and score_i[c] >= 0:
+                parts.append(f" {tids[cand_i[c]]} {fmt_float(score_i[c])}")
                 printed = True
         if not printed:
             parts.append("-1 -1")
         parts.append("\t")
 
-        match = int(res["match"][i])
         if match in (DIRECT, MULTI, PARTIAL):
-            call_tid = int(tids[int(res["call_idx"][i])])
-            call_score = F(res["call_score"][i])
-            parts.append(f"{call_tid} {fmt_float(call_score)} {MATCH_STR[match]}")
-            if call_score >= self.min_score and valid_kmers >= cfg.min_kmer:
-                self._track(call_tid, call_score)
-            elif call_score < self.min_score:
+            call_tid = int(tids[call_idx])
+            cs = F(call_score)
+            parts.append(f"{call_tid} {fmt_float(cs)} {MATCH_STR[match]}")
+            if cs >= self.min_score and valid_kmers >= cfg.min_kmer:
+                self._track(call_tid, cs)
+            elif cs < self.min_score:
                 self._nomatch(LOW_SCORE)
         elif match == NOMATCH:
             parts.append("-1 -1 NoMatch")
