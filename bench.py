@@ -141,10 +141,8 @@ def main():
     fast.classify_batch(batches[0])  # warm/compile
 
     t0 = time.time()
-    n_reads = 0
-    for reads in batches:
-        lines = fast.classify_batch(reads)
-        n_reads += len(lines)
+    lines = fast.classify_stream(batches)
+    n_reads = len(lines)
     dt = time.time() - t0
     rps = n_reads / dt
 

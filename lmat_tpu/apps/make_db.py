@@ -116,20 +116,96 @@ def build_native(fasta_path: str, taxonomy, k: int, max_tids: int = 16,
 
 
 def build_from_tax_histo(paths, k: int, max_tids: int = 16,
-                         tid_cutoff: int = 0, priority_map=None) -> KmerIndex:
-    """Ingest reference tax_histo binaries, preserving stored taxid order."""
+                         tid_cutoff: int = 0, priority_map=None,
+                         human_kmers=None, adaptor_kmers=None) -> KmerIndex:
+    """Ingest reference tax_histo binaries, preserving stored taxid order.
+    Optional human/adaptor k-mer feeds replicate make_db_table -j/-u."""
     if isinstance(paths, str):
         paths = [paths]
+
+    def records():
+        for path in paths:
+            yield from formats.read_tax_histo(path)
+
+    rec = records()
+    if human_kmers is not None or adaptor_kmers is not None:
+        rec = merge_human_adaptor(rec, human_kmers, adaptor_kmers)
     kmers = []
     lists = []
-    for path in paths:
-        for kmer, tids in formats.read_tax_histo(path):
-            lst = prune_list(list(tids), tid_cutoff, priority_map)
-            if len(lst) > max_tids:
-                lst = prune_list(lst, max_tids, priority_map)
-            kmers.append(kmer)
-            lists.append(np.asarray(lst, np.uint32))
+    for kmer, tids in rec:
+        lst = prune_list(list(tids), tid_cutoff, priority_map)
+        if len(lst) > max_tids:
+            lst = prune_list(lst, max_tids, priority_map)
+        kmers.append(kmer)
+        lists.append(np.asarray(lst, np.uint32))
     return KmerIndex.build(np.asarray(kmers, np.uint64), lists, k, max_tids=max_tids)
+
+
+def merge_human_adaptor(records, human_kmers=None, adaptor_kmers=None,
+                        human_tid: int = 9606, adaptor_tid: int = 32630):
+    """Merge the human/adaptor k-mer feeds into a sorted record stream
+    (make_db_table -j/-u semantics, SortedDb.cpp:168-292 and :602-707):
+
+      * feed k-mers absent from the input appear as single-taxid entries
+        (adaptor taxid if also in the adaptor set, else human);
+      * input k-mers present in the human feed get the human taxid appended
+        to their list unless already present;
+      * input k-mers in the adaptor set have their lists REPLACED by the
+        adaptor taxid.
+
+    records: sorted (kmer, tids) iterable.  human_kmers: sorted iterable.
+    adaptor_kmers: set.
+    """
+    adaptor_kmers = adaptor_kmers or frozenset()
+    hit = iter(human_kmers) if human_kmers is not None else iter(())
+
+    def next_h():
+        return next(hit, None)
+
+    h = next_h()
+    for kmer, tids in records:
+        while h is not None and h < kmer:
+            yield h, np.asarray(
+                [adaptor_tid if h in adaptor_kmers else human_tid], np.uint32
+            )
+            h = next_h()
+        add_human = False
+        if h is not None and h == kmer:
+            add_human = True
+            h = next_h()
+        if kmer in adaptor_kmers:
+            yield kmer, np.asarray([adaptor_tid], np.uint32)
+            continue
+        tids = np.asarray(tids, np.uint32)
+        if add_human and human_tid not in tids:
+            tids = np.concatenate([tids, np.asarray([human_tid], np.uint32)])
+        yield kmer, tids
+    while h is not None:
+        yield h, np.asarray(
+            [adaptor_tid if h in adaptor_kmers else human_tid], np.uint32
+        )
+        h = next_h()
+
+
+def compact_16bit(idx: KmerIndex, mapping: dict[int, int]) -> KmerIndex:
+    """16-bit taxid compaction (make_db_table -f, the reference's br_map):
+    store uint16 ids in the arena plus a conversion table back to 32-bit.
+    Halves arena HBM; lookups convert via a 65536-entry table."""
+    import copy
+
+    out = copy.copy(idx)
+    flat16 = np.zeros(idx.tid_flat.shape, np.uint16)
+    conv = np.zeros(65536, np.uint32)
+    for i, t in enumerate(idx.tid_flat):
+        t = int(t)
+        m = mapping.get(t)
+        if m is None or m == 0:
+            raise ValueError(f"taxid {t} missing from 16-bit map")
+        flat16[i] = m
+        conv[m] = t
+    out.tid_flat = flat16
+    out.conv_table = conv
+    return out
 
 
 def build_from_kpc(paths, k: int, max_tids: int = 64) -> KmerIndex:

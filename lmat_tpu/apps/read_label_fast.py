@@ -63,11 +63,29 @@ class FastClassifier:
         self.track_score: dict[int, F] = {}
         self.track_nomatch: dict[int, int] = {}
 
+    def classify_stream(self, batches: list[list[tuple[str, str]]], out=None):
+        """Pipelined classification over multiple batches: the next batch's
+        device step is dispatched before the current batch's host formatting,
+        overlapping transfer/compute with CPU work."""
+        all_lines = []
+        pending = None
+        for reads in batches + [None]:
+            nxt = None
+            if reads is not None:
+                nxt = (reads, self.step(pad_batch([s for _, s in reads])))
+            if pending is not None:
+                p_reads, p_dev = pending
+                all_lines.extend(self._format(p_reads, p_dev, out))
+            pending = nxt
+        return all_lines
+
     def classify_batch(self, reads: list[tuple[str, str]], out=None):
         """reads: [(header, seq)]; writes lines to `out` (list or file)."""
+        return self._format(reads, self.step(pad_batch([s for _, s in reads])), out)
+
+    def _format(self, reads, dev_out, out=None):
         cfg = self.scorer.cfg
-        batch = pad_batch([s for _, s in reads])
-        ints, flts, cand, score, order, overflow = self.step(batch)
+        ints, flts, cand, score, order, overflow = dev_out
         res = {
             "ints": np.asarray(ints).tolist(),
             "flts": np.asarray(flts).tolist(),

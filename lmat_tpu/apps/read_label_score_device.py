@@ -120,17 +120,15 @@ class DeviceScorer:
         import copy
 
         out = copy.copy(kidx)
-        lut = {}
         flat = kidx.tid_flat
-        mapped = np.zeros_like(flat)
-        for i, t in enumerate(flat):
-            t = int(t)
-            m = lut.get(t)
-            if m is None:
-                m = self.index.get(t, 0)
-                lut[t] = m
-            mapped[i] = m
-        out.tid_flat = mapped.astype(np.uint32)
+        if kidx.conv_table is not None:
+            flat = kidx.conv_table[flat]
+            out.conv_table = None
+        sorted_tids = self.tids.astype(np.int64)
+        pos = np.searchsorted(sorted_tids, flat.astype(np.int64))
+        pos = np.clip(pos, 0, len(sorted_tids) - 1)
+        hit = sorted_tids[pos] == flat
+        out.tid_flat = np.where(hit, pos, 0).astype(np.uint32)
         return out
 
     # ------------------------------------------------------------------

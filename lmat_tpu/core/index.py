@@ -43,6 +43,7 @@ class KmerIndex:
     ng: np.ndarray
     max_tids: int
     search_depth: int
+    conv_table: object = None  # uint32[65536] when the arena stores 16-bit ids
 
     @property
     def n_kmers(self) -> int:
@@ -109,7 +110,10 @@ class KmerIndex:
         if pos >= e or self.suffix[pos] != lo:
             return None
         ts, te = int(self.tid_start[pos]), int(self.tid_start[pos + 1])
-        return int(self.ng[pos]), self.tid_flat[ts:te]
+        tids = self.tid_flat[ts:te]
+        if self.conv_table is not None:
+            tids = self.conv_table[tids]
+        return int(self.ng[pos]), tids
 
     # ---------------- persistence ------------------------------------------
 
@@ -120,6 +124,8 @@ class KmerIndex:
         np.save(os.path.join(path, "tid_start.npy"), self.tid_start)
         np.save(os.path.join(path, "tid_flat.npy"), self.tid_flat)
         np.save(os.path.join(path, "ng.npy"), self.ng)
+        if self.conv_table is not None:
+            np.save(os.path.join(path, "conv_table.npy"), self.conv_table)
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(
                 {
@@ -144,6 +150,11 @@ class KmerIndex:
             ng=np.load(os.path.join(path, "ng.npy")),
             max_tids=meta["max_tids"],
             search_depth=meta["search_depth"],
+            conv_table=(
+                np.load(os.path.join(path, "conv_table.npy"))
+                if os.path.exists(os.path.join(path, "conv_table.npy"))
+                else None
+            ),
         )
 
     # ---------------- device ------------------------------------------------
@@ -161,6 +172,7 @@ class KmerIndex:
             ng=put(self.ng),
             max_tids=self.max_tids,
             search_depth=self.search_depth,
+            conv_table=put(self.conv_table) if self.conv_table is not None else None,
         )
 
 
@@ -176,6 +188,7 @@ class DeviceIndex:
     ng: object
     max_tids: int
     search_depth: int
+    conv_table: object = None
 
     def tree_flatten(self):
         return (
@@ -220,4 +233,8 @@ class DeviceIndex:
         tids = jnp.where(
             tmask, jnp.take(self.tid_flat, offs, mode="clip"), jnp.uint32(0)
         )
+        if self.conv_table is not None:
+            # 16-bit compacted arena: convert back through the id table
+            tids = jnp.take(self.conv_table, tids.astype(jnp.int32), mode="clip")
+            tids = jnp.where(tmask, tids, jnp.uint32(0))
         return found, ngv, tids, tmask
