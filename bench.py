@@ -126,6 +126,10 @@ def main():
     t_setup = time.time()
     import jax
 
+    # persistent compile cache: XLA compilation of the scorer dominates setup
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from lmat_tpu.apps.read_label_fast import FastClassifier
     from lmat_tpu.apps.read_label_score_device import DeviceScorer, DeviceScorerConfig
 
