@@ -59,6 +59,7 @@ class FastClassifier:
             return ints, flts, out["cand"], out["score"], out["order"], out["overflow"]
 
         self.step = jax.jit(step)
+        self._tids_list = scorer.tids.tolist()
         self.track_count: dict[int, int] = {}
         self.track_score: dict[int, F] = {}
         self.track_nomatch: dict[int, int] = {}
@@ -103,7 +104,11 @@ class FastClassifier:
         return lines
 
     def _finish_read(self, i, seq, res, cfg) -> str:
-        tids = self.scorer.tids
+        # values in res came through .tolist() from f32 arrays, so they are
+        # exact doubles of the f32 values — '%g' formats them identically to
+        # io.cppfmt.fmt_float without the per-call np.float32 wrap
+        g = "%g".__mod__
+        tids = self._tids_list
         call_idx, match, n_cand, cand_kmer_cnt, cnt_fnd, valid_kmers, fnd_phix = res["ints"][i]
         call_score, log_avg, stdev, top_score, phix_score = res["flts"][i]
         ri_len = len(seq)
@@ -129,7 +134,7 @@ class FastClassifier:
                 f"{ART_SEQ_TID} {fmt_float(ps)} DirectMatch"
             )
 
-        parts = [f"{fmt_float(log_avg)} {fmt_float(stdev)} {cand_kmer_cnt}\t"]
+        parts = [f"{g(log_avg)} {g(stdev)} {cand_kmer_cnt}\t"]
         order_i = res["order"][i]
         score_i = res["score"][i]
         cand_i = res["cand"][i]
@@ -137,7 +142,7 @@ class FastClassifier:
         for j in range(len(order_i) - 1, -1, -1):
             c = order_i[j]
             if c < n_cand and score_i[c] >= 0:
-                parts.append(f" {tids[cand_i[c]]} {fmt_float(score_i[c])}")
+                parts.append(f" {tids[cand_i[c]]} {g(score_i[c])}")
                 printed = True
         if not printed:
             parts.append("-1 -1")
