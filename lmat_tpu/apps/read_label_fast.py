@@ -164,6 +164,16 @@ class FastClassifier:
             self._nomatch(LOW_SCORE)
         return "".join(parts)
 
+    def write_fastsummary(self, path: str, rank_ids_file: str):
+        from .read_label_host import write_fastsummary
+
+        write_fastsummary(self.track_score, self.track_count, path, rank_ids_file)
+
+    def write_nomatchsum(self, path: str):
+        from .read_label_host import write_nomatchsum
+
+        write_nomatchsum(self.track_nomatch, path)
+
     def _track(self, tid, score):
         if tid not in self.track_count:
             self.track_count[tid] = 1

@@ -619,7 +619,14 @@ class Classifier:
 
     def write_fastsummary(self, path: str, rank_ids_file: str):
         """read_label.cpp:1801-1852."""
-        cand = set(self.track_score)
+        write_fastsummary(self.track_score, self.track_count, path, rank_ids_file)
+
+    def write_nomatchsum(self, path: str):
+        write_nomatchsum(self.track_nomatch, path)
+
+
+def write_fastsummary(track_score, track_count, path: str, rank_ids_file: str):
+        cand = set(track_score)
         save_id: dict[int, str] = {}
         with open(rank_ids_file) as f:
             for raw in f:
@@ -636,17 +643,18 @@ class Classifier:
                             pos = line.rfind("\t")
                             save_id[cid] = line[pos + 1 :]
                         break
-        sort_val = [(tid, self.track_score[tid]) for tid in sorted(self.track_score)]
+        sort_val = [(tid, track_score[tid]) for tid in sorted(track_score)]
         gnu_sort(sort_val, lambda a, b: a[1] > b[1])
         with open(path, "w") as f:
             for tid, wght in sort_val:
-                cnt = self.track_count[tid]
+                cnt = track_count[tid]
                 f.write(f"{fmt_float(wght)}\t{cnt}\t{tid}\t{save_id.get(tid, '')}\n")
 
-    def write_nomatchsum(self, path: str):
+
+def write_nomatchsum(track_nomatch, path: str):
         with open(path, "w") as f:
-            for key in sorted(self.track_nomatch):
-                f.write(f"{NOMATCH_STR[key]}\t{self.track_nomatch[key]}\n")
+            for key in sorted(track_nomatch):
+                f.write(f"{NOMATCH_STR[key]}\t{track_nomatch[key]}\n")
 
 
 def _prune_by_rank(tids, rank_map: dict, tid_cut: int):
