@@ -1,0 +1,171 @@
+// Native FASTA/FASTQ batcher — the framework's host-side data loader.
+//
+// Parses reads and packs them directly into fixed-shape uint8 batches
+// (padded, ready for device upload), replacing the reference's per-line
+// OpenMP queue (read_label.cpp:1651-1713) with a zero-copy scanning parser.
+// Exposed to Python via ctypes (lmat_tpu/io/native_loader.py).
+//
+// Build: cc -O3 -shared -fPIC fasta_reader.cpp -o libfastareader.so
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+
+extern "C" {
+
+struct FastaReader {
+    FILE *f;
+    char *line;
+    size_t cap;
+    // pending sequence accumulated across lines
+    char *seq;
+    size_t seq_len, seq_cap;
+    char *hdr;
+    size_t hdr_cap;
+    char *next_hdr;
+    size_t next_hdr_cap;
+    int fastq;
+    int have_pending;
+    int eof;
+};
+
+FastaReader *fr_open(const char *path) {
+    FILE *f = fopen(path, "rb");
+    if (!f) return nullptr;
+    FastaReader *r = (FastaReader *)calloc(1, sizeof(FastaReader));
+    r->f = f;
+    r->cap = 1 << 16;
+    r->line = (char *)malloc(r->cap);
+    r->seq_cap = 1 << 16;
+    r->seq = (char *)malloc(r->seq_cap);
+    r->hdr_cap = r->next_hdr_cap = 4096;
+    r->hdr = (char *)malloc(r->hdr_cap);
+    r->next_hdr = (char *)malloc(r->next_hdr_cap);
+    r->hdr[0] = r->next_hdr[0] = 0;
+    int c = fgetc(f);
+    r->fastq = (c == '@');
+    ungetc(c, f);
+    return r;
+}
+
+void fr_close(FastaReader *r) {
+    if (!r) return;
+    fclose(r->f);
+    free(r->line);
+    free(r->seq);
+    free(r->hdr);
+    free(r->next_hdr);
+    free(r);
+}
+
+static void grow(char **buf, size_t *cap, size_t need) {
+    if (need > *cap) {
+        while (*cap < need) *cap <<= 1;
+        *buf = (char *)realloc(*buf, *cap);
+    }
+}
+
+// returns 1 and fills (hdr, seq) on success; 0 at EOF
+static int fr_next(FastaReader *r, const char **hdr_out, const char **seq_out,
+                   size_t *seq_len_out) {
+    if (r->fastq) {
+        // @hdr / seq / + / qual
+        ssize_t n;
+        while ((n = getline(&r->line, &r->cap, r->f)) > 0) {
+            if (r->line[0] != '@') continue;
+            size_t hl = strcspn(r->line + 1, "\r\n");
+            grow(&r->hdr, &r->hdr_cap, hl + 1);
+            memcpy(r->hdr, r->line + 1, hl);
+            r->hdr[hl] = 0;
+            if ((n = getline(&r->line, &r->cap, r->f)) <= 0) return 0;
+            size_t sl = strcspn(r->line, "\r\n");
+            grow(&r->seq, &r->seq_cap, sl + 1);
+            memcpy(r->seq, r->line, sl);
+            r->seq[sl] = 0;
+            getline(&r->line, &r->cap, r->f);  // '+'
+            getline(&r->line, &r->cap, r->f);  // qual
+            *hdr_out = r->hdr;
+            *seq_out = r->seq;
+            *seq_len_out = sl;
+            return 1;
+        }
+        return 0;
+    }
+    // FASTA with multi-line sequences
+    ssize_t n;
+    for (;;) {
+        if (r->eof) {
+            if (r->have_pending && r->seq_len) {
+                r->have_pending = 0;
+                *hdr_out = r->hdr;
+                *seq_out = r->seq;
+                *seq_len_out = r->seq_len;
+                return 1;
+            }
+            return 0;
+        }
+        n = getline(&r->line, &r->cap, r->f);
+        if (n <= 0) {
+            r->eof = 1;
+            continue;
+        }
+        if (r->line[0] == '>') {
+            size_t hl = strcspn(r->line + 1, "\r\n");
+            grow(&r->next_hdr, &r->next_hdr_cap, hl + 1);
+            memcpy(r->next_hdr, r->line + 1, hl);
+            r->next_hdr[hl] = 0;
+            if (r->have_pending && r->seq_len) {
+                // emit previous record, swap headers
+                char *t = r->hdr; r->hdr = r->next_hdr; r->next_hdr = t;
+                size_t tc = r->hdr_cap; r->hdr_cap = r->next_hdr_cap; r->next_hdr_cap = tc;
+                *hdr_out = r->next_hdr;  // old hdr (after swap)
+                *seq_out = r->seq;
+                *seq_len_out = r->seq_len;
+                r->seq_len = 0;
+                return 1;
+            }
+            char *t = r->hdr; r->hdr = r->next_hdr; r->next_hdr = t;
+            size_t tc = r->hdr_cap; r->hdr_cap = r->next_hdr_cap; r->next_hdr_cap = tc;
+            r->have_pending = 1;
+            r->seq_len = 0;
+        } else {
+            size_t sl = strcspn(r->line, "\r\n");
+            grow(&r->seq, &r->seq_cap, r->seq_len + sl + 1);
+            memcpy(r->seq + r->seq_len, r->line, sl);
+            r->seq_len += sl;
+            r->seq[r->seq_len] = 0;
+        }
+    }
+}
+
+// Fill a [max_reads, max_len] uint8 batch (zero padded).  Returns the number
+// of reads packed.  lengths[i] receives the true read length; headers are
+// concatenated NUL-separated into hdr_buf (hdr_buf_cap bytes).
+int64_t fr_next_batch(FastaReader *r, uint8_t *batch, int64_t max_reads,
+                      int64_t max_len, int32_t *lengths, char *hdr_buf,
+                      int64_t hdr_buf_cap) {
+    int64_t count = 0;
+    int64_t hoff = 0;
+    const char *hdr;
+    const char *seq;
+    size_t slen;
+    while (count < max_reads && fr_next(r, &hdr, &seq, &slen)) {
+        uint8_t *row = batch + count * max_len;
+        size_t copy = slen < (size_t)max_len ? slen : (size_t)max_len;
+        memcpy(row, seq, copy);
+        if (copy < (size_t)max_len) memset(row + copy, 0, max_len - copy);
+        lengths[count] = (int32_t)slen;
+        size_t hl = strlen(hdr);
+        if (hoff + (int64_t)hl + 1 <= hdr_buf_cap) {
+            memcpy(hdr_buf + hoff, hdr, hl + 1);
+            hoff += hl + 1;
+        } else if (hoff < hdr_buf_cap) {
+            hdr_buf[hoff++] = 0;
+        }
+        count++;
+    }
+    return count;
+}
+
+}  // extern "C"
