@@ -73,35 +73,35 @@ def make_pallas_probe(bucket_start, suffix, max_bucket: int, q_tile: int = 1024,
 
         jax.lax.fori_loop(0, q_tile + pipe, body, 0, unroll=False)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # start
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # n
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # lo
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # valid
-            pl.BlockSpec(memory_space=pltpu.ANY),     # suffix (HBM)
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((pipe, MB), jnp.uint32),
-            pltpu.SemaphoreType.DMA((pipe,)),
-        ],
-    )
-
-    probe_tile = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((q_tile,), jnp.int32),
-            jax.ShapeDtypeStruct((q_tile,), jnp.int32),
-        ],
-        interpret=interpret,
-    )
+    def make_call(tiles: int):
+        smem_block = lambda: pl.BlockSpec(
+            (q_tile,), lambda i: (i,), memory_space=pltpu.SMEM
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(tiles,),
+            in_specs=[
+                smem_block(),                          # start
+                smem_block(),                          # n
+                smem_block(),                          # lo
+                smem_block(),                          # valid
+                pl.BlockSpec(memory_space=pltpu.ANY),  # suffix (HBM)
+            ],
+            out_specs=[smem_block(), smem_block()],
+            scratch_shapes=[
+                pltpu.VMEM((pipe, MB), jnp.uint32),
+                pltpu.SemaphoreType.DMA((pipe,)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((tiles * q_tile,), jnp.int32),
+                jax.ShapeDtypeStruct((tiles * q_tile,), jnp.int32),
+            ],
+            interpret=interpret,
+        )
 
     bs32 = bucket_start.astype(jnp.int32)
 
@@ -117,15 +117,7 @@ def make_pallas_probe(bucket_start, suffix, max_bucket: int, q_tile: int = 1024,
         end = jnp.take(bs32, hi_p + 1, mode="clip")
         n = end - start
         tiles = (Q + pad) // q_tile
-        found = []
-        pos = []
-        for t in range(tiles):
-            sl = slice(t * q_tile, (t + 1) * q_tile)
-            f, p = probe_tile(start[sl], n[sl], lo_p[sl], va_p[sl], suffix_padded)
-            found.append(f)
-            pos.append(p)
-        found = jnp.concatenate(found)[:Q]
-        pos = jnp.concatenate(pos)[:Q]
-        return found.astype(bool), pos
+        f, p = make_call(tiles)(start, n, lo_p, va_p, suffix_padded)
+        return f[:Q].astype(bool), p[:Q]
 
     return fn
