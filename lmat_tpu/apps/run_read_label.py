@@ -9,6 +9,7 @@ Produces the same files as the reference run:
 from __future__ import annotations
 
 import argparse
+import os
 
 from ..core.index import KmerIndex
 from ..core.taxonomy import Taxonomy
@@ -36,17 +37,30 @@ def run(args) -> Classifier:
         prn_all=True,
     )
     clf = Classifier(tax, index, opts, null_model=null)
+    n_shards = getattr(args, "shards", 1) or 1
+    shard_id = getattr(args, "shard_id", 0) or 0
+    base = f"{args.output}.{fmt_float(args.min_score) if args.min_score else '0'}.{args.min_kmer}"
+    out_file = f"{args.output}{shard_id}.out"
+    if (
+        not getattr(args, "overwrite", False)
+        and os.path.exists(out_file)
+        and os.path.exists(base + ".fastsummary")
+    ):
+        # run_rl.sh --overwrite guard: restart skips completed shards
+        print(f"skip existing {out_file} (use --overwrite to redo)")
+        return clf
     n = 0
-    with open(args.output + "0.out", "w") as f:
+    with open(out_file, "w") as f:
         for i, (hdr, seq) in enumerate(iter_reads_lmat(args.reads, fastq=args.fastq)):
+            if n_shards > 1 and i % n_shards != shard_id:
+                continue
             if not hdr:
                 hdr = f"unknown_hdr:{i + 1}"
             f.write(clf.classify(hdr, seq) + "\n")
             n += 1
-    base = f"{args.output}.{fmt_float(args.min_score) if args.min_score else '0'}.{args.min_kmer}"
     clf.write_fastsummary(base + ".fastsummary", args.rank_ids)
     clf.write_nomatchsum(base + ".nomatchsum")
-    print(f"classified {n} reads -> {args.output}0.out")
+    print(f"classified {n} reads -> {out_file}")
     return clf
 
 
@@ -66,6 +80,9 @@ def main(argv=None):
     ap.add_argument("-b", "--sdiff", type=float, default=1.0)
     ap.add_argument("-l", "--hbias", type=float, default=0.0)
     ap.add_argument("-q", "--fastq", action="store_true")
+    ap.add_argument("--shards", type=int, default=1, help="round-robin input sharding")
+    ap.add_argument("--shard-id", type=int, default=0)
+    ap.add_argument("--overwrite", action="store_true")
     run(ap.parse_args(argv))
 
 

@@ -186,6 +186,9 @@ def main(argv=None):
     p.add_argument("-b", "--sdiff", type=float, default=1.0)
     p.add_argument("-l", "--hbias", type=float, default=0.0)
     p.add_argument("-q", "--fastq", action="store_true")
+    p.add_argument("--shards", type=int, default=1)
+    p.add_argument("--shard-id", type=int, default=0)
+    p.add_argument("--overwrite", action="store_true")
     p.set_defaults(fn=cmd_read_label)
 
     p = sub.add_parser("run-rl", help="pipeline: classify + reports (run_rl.sh)")

@@ -27,36 +27,48 @@ def make_pallas_probe(bucket_start, suffix, max_bucket: int, q_tile: int = 1024,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    MB = max(128, 1 << int(np.ceil(np.log2(max(max_bucket, 1)))))
-    # pad the suffix table so over-fetching the fixed MB window is safe
-    suffix_padded = jnp.concatenate(
-        [suffix, jnp.full((MB,), 0xFFFFFFFF, jnp.uint32)]
+    # TPU i32 tiles are (8, 128): store the suffix table as [rows, 128] and
+    # DMA an 8-row-aligned window of whole tiles covering each bucket's span
+    LANE = 128
+    SUB = 8
+    span_rows = SUB + int(np.ceil((max_bucket + LANE - 1) / LANE)) + 1
+    ROWS = ((span_rows + SUB - 1) // SUB) * SUB
+    n = suffix.shape[0]
+    n_rows = ((n + LANE - 1) // LANE + ROWS + SUB - 1) // SUB * SUB
+    suffix_2d = jnp.zeros((n_rows, LANE), jnp.uint32).at[: (n + LANE - 1) // LANE].set(
+        jnp.concatenate(
+            [suffix, jnp.full(((-n) % LANE,), 0xFFFFFFFF, jnp.uint32)]
+        ).reshape(-1, LANE),
+        mode="drop",
     )
+    MB = ROWS * LANE
 
     def kernel(start_ref, n_ref, lo_ref, valid_ref, suffix_hbm,
                found_ref, pos_ref, buf, sems):
         def issue(q, slot):
+            row = (start_ref[q] // (LANE * SUB)) * SUB
             pltpu.make_async_copy(
-                suffix_hbm.at[pl.ds(start_ref[q], MB)],
+                suffix_hbm.at[pl.ds(row, ROWS)],
                 buf.at[slot],
                 sems.at[slot],
             ).start()
 
         def process(q, slot):
+            row = (start_ref[q] // (LANE * SUB)) * SUB
+            off = start_ref[q] - row * LANE
             pltpu.make_async_copy(
-                suffix_hbm.at[pl.ds(start_ref[q], MB)], buf.at[slot],
-                sems.at[slot],
+                suffix_hbm.at[pl.ds(row, ROWS)], buf.at[slot], sems.at[slot]
             ).wait()
             lo = lo_ref[q]
             n = n_ref[q]
-            data = buf[slot]
+            data = buf[slot].reshape(MB)
             idx = jax.lax.broadcasted_iota(jnp.int32, (MB,), 0)
-            hit = (idx < n) & (data == lo)
+            hit = (idx >= off) & (idx < off + n) & (data == lo)
             # integer min instead of argmax (Mosaic argmax is f32-only)
             first = jnp.min(jnp.where(hit, idx, MB))
             anyhit = first < MB
             found_ref[q] = (anyhit & (valid_ref[q] != 0)).astype(jnp.int32)
-            pos_ref[q] = start_ref[q] + jnp.where(anyhit, first, 0)
+            pos_ref[q] = start_ref[q] + jnp.where(anyhit, first - off, 0)
 
         def body(q, _):
             slot = jax.lax.rem(q, pipe)
@@ -89,7 +101,7 @@ def make_pallas_probe(bucket_start, suffix, max_bucket: int, q_tile: int = 1024,
             ],
             out_specs=[smem_block(), smem_block()],
             scratch_shapes=[
-                pltpu.VMEM((pipe, MB), jnp.uint32),
+                pltpu.VMEM((pipe, ROWS, LANE), jnp.uint32),
                 pltpu.SemaphoreType.DMA((pipe,)),
             ],
         )
@@ -117,7 +129,7 @@ def make_pallas_probe(bucket_start, suffix, max_bucket: int, q_tile: int = 1024,
         end = jnp.take(bs32, hi_p + 1, mode="clip")
         n = end - start
         tiles = (Q + pad) // q_tile
-        f, p = make_call(tiles)(start, n, lo_p, va_p, suffix_padded)
+        f, p = make_call(tiles)(start, n, lo_p, va_p, suffix_2d)
         return f[:Q].astype(bool), p[:Q]
 
     return fn
