@@ -135,7 +135,9 @@ def main():
 
     tax, leaves = build_taxonomy()
     idx, kmers, groups = build_index(tax, leaves)
-    cfg = DeviceScorerConfig(max_candidates=64, min_kmer=30)
+    cfg = DeviceScorerConfig(
+        max_candidates=int(os.environ.get("BENCH_CAND", 48)), min_kmer=30
+    )
     scorer = DeviceScorer(tax, cfg)
     remapped = scorer.remap_index_tids(idx)
     fast = FastClassifier(remapped.to_device(), scorer, k=K)

@@ -12,6 +12,14 @@ Output is (found, pos) per query, pos being the global k-mer slot; the
 taxid-arena gathers (a handful per hit) also stay in XLA.
 
 Falls back to interpret mode off-TPU (tests) via interpret=True.
+
+Measured on a v5e (4M-kmer table, 131k queries): this kernel sustains ~3.0M
+lookups/s vs ~11.2M for the XLA gather chain — the scalar core's sequential
+DMA issue rate dominates at small bucket sizes (max_bucket 16 -> one ~8KB
+window per query).  The XLA probe therefore remains the default
+(core/index.py); this kernel is the right shape when buckets are large
+(IDX geometries with few buckets, where the binary search would need ~17
+dependent gathers but the window DMA streams at full bandwidth).
 """
 
 from __future__ import annotations
