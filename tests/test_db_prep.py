@@ -46,7 +46,7 @@ def test_merge_paired_reads(tmp_path):
 def test_build_taxid_lst(tmp_path):
     out = tmp_path / "tids"
     tids = build_taxid_lst(W + "/taxhisto.bin", str(out))
-    assert 562 in tids and 1 in tids
+    assert 562 in tids and 9606 in tids
     assert len(out.read_text().splitlines()) == len(tids)
 
 
