@@ -168,8 +168,15 @@ class DeviceScorer:
         tmask = tmask & ~skip
 
         # --- per-position ancestor suppression ----------------------------
+        # hoist Euler-table gathers out of all pairwise tests: one gather per
+        # (b,p,t), afterwards ancestor checks are pure compares
+        e_in_t = jnp.take(self.euler_in, tids, mode="clip")   # [B,P,T]
+        e_out_t = jnp.take(self.euler_out, tids, mode="clip")
         # kept iff not a proper ancestor of any other observed tid at pos
-        anc_pair = self._anc(tids[..., :, None], tids[..., None, :])  # [B,P,T,T]
+        anc_pair = (
+            (e_in_t[..., :, None] < e_in_t[..., None, :])
+            & (e_in_t[..., None, :] < e_out_t[..., :, None])
+        )  # [B,P,T,T] anc(t_i, t_j)
         other = tmask[..., None, :] & tmask[..., :, None]
         suppressed = jnp.any(anc_pair & other, axis=-1)
         kept = tmask & ~suppressed
@@ -235,6 +242,8 @@ class DeviceScorer:
 
         # qualify per (b,p,t): look up the tid's stage-1 candidate slot
         # --- presence/found counts [B,C] ----------------------------------
+        e_in_c = jnp.take(self.euler_in, cand, mode="clip")    # [B,C]
+        e_out_c = jnp.take(self.euler_out, cand, mode="clip")
         pres_any = jnp.zeros((B, P, C), bool)
         for t in range(T):
             tt = tids[:, :, t]  # [B,P]
@@ -243,7 +252,10 @@ class DeviceScorer:
             m1 = tt[:, :, None] == cand1[:, None, :]  # [B,P,C]
             q_t = jnp.any(m1 & qualify1[:, None, :], axis=2) & kk
             direct = (tt[:, :, None] == cand[:, None, :]) & kk[:, :, None]
-            anc = self._anc(cand[:, None, :], tt[:, :, None]) & q_t[:, :, None]
+            ein = e_in_t[:, :, t][:, :, None]
+            anc = (
+                (e_in_c[:, None, :] < ein) & (ein < e_out_c[:, None, :])
+            ) & q_t[:, :, None]
             pres_any = pres_any | direct | anc
         found_cnt = jnp.sum(pres_any.astype(jnp.int32), axis=1)
 
