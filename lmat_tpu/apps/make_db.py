@@ -30,15 +30,61 @@ from ..io import formats
 from ..io.fasta import iter_reads
 
 
-def extract_kmers(fasta_path: str, k: int):
-    """Scan an .int fasta (headers are taxids) -> dict kmer -> set(tids)."""
+def extract_kmers(fasta_path: str, k: int, prefix_bits: int = 0, prefix: int = 0):
+    """Scan an .int fasta (headers are taxids) -> dict kmer -> set(tids).
+
+    prefix_bits/prefix shard the k-mer space the way kmerPrefixCounter's
+    -l/-f options do (doc/lmat-doc.txt:655-686): only k-mers whose top
+    2*prefix_bases bits equal `prefix` are collected, so 4^l independent
+    shard builds cover the space (the reference fans these out with MPI;
+    here any process pool or job array works — shards share nothing).
+    """
     table: dict[int, set] = {}
+    shift = np.uint64(2 * k - prefix_bits) if prefix_bits else None
     for hdr, seq in iter_reads(fasta_path):
         tid = int(hdr.split()[0].split("|")[0]) if hdr else 0
         kmers = genome_canonical_kmers(seq.encode(), k)
+        if prefix_bits:
+            kmers = kmers[(kmers >> shift) == np.uint64(prefix)]
         for km in np.unique(kmers):
             table.setdefault(int(km), set()).add(tid)
     return table
+
+
+def build_sharded(fasta_path: str, taxonomy, k: int, n_shards_log4: int,
+                  out_dir: str, max_tids: int = 16, processes: int = 0):
+    """Sharded DB build: 4^n_shards_log4 independent prefix shards, each
+    extracted + LCA-collapsed + written as a tax_histo file, then merged into
+    one index.  With `processes` > 0 the shards build in a process pool."""
+    import functools
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    bits = 2 * n_shards_log4
+    n_shards = 1 << bits
+    paths = []
+
+    def one(p):
+        path = os.path.join(out_dir, f"shard.{p}.tax_histo")
+        table = extract_kmers(fasta_path, k, prefix_bits=bits, prefix=p)
+
+        def records():
+            for km in sorted(table):
+                closure = lca_closure(taxonomy, table[km])
+                if closure:
+                    yield km, closure
+
+        formats.write_tax_histo(path, records(), k)
+        return path
+
+    if processes > 1:
+        import multiprocessing as mp
+
+        with mp.Pool(processes) as pool:
+            paths = pool.map(one, range(n_shards))
+    else:
+        paths = [one(p) for p in range(n_shards)]
+    return build_from_tax_histo(paths, k=k, max_tids=max_tids)
 
 
 def lca_closure(taxonomy, tids) -> list[int]:
