@@ -152,14 +152,39 @@ class GeneLabeler:
             self.score_tax[taxid][gl] = self.score_tax[taxid].get(gl, F(0)) + gscore
         return out
 
-    def run_files(self, out_files: list[str], ofbase: str):
-        """One output file per input file (thread-per-file in the reference)."""
+    def run_files(self, out_files: list[str], ofbase: str, device: bool = False):
+        """One output file per input file (thread-per-file in the reference).
+        device=True batches the k-mer lookups through the TPU probe."""
         for i, path in enumerate(out_files):
             with open(path) as f, open(f"{ofbase}{i}.out", "w") as ofs:
-                for raw in f:
-                    res = self.process_line(raw.rstrip("\n"))
-                    if res is not None:
-                        ofs.write(res + "\n")
+                if device:
+                    self._run_device(f, ofs)
+                else:
+                    for raw in f:
+                        res = self.process_line(raw.rstrip("\n"))
+                        if res is not None:
+                            ofs.write(res + "\n")
+
+    def _run_device(self, f, ofs, batch_size: int = 512):
+        from .read_label_device import DevicePipeline, pad_batch
+
+        if not hasattr(self, "_pipe"):
+            self._pipe = DevicePipeline(self.index.to_device(), k=self.opts.k)
+        lines = [raw.rstrip("\n") for raw in f]
+        for lo in range(0, len(lines), batch_size):
+            chunk = lines[lo : lo + batch_size]
+            seqs = []
+            for line in chunk:
+                _h, read, skip, _t, _s = _parse_out_line(line)
+                seqs.append("" if skip else read)
+            batch = pad_batch([s if s else "N" for s in seqs])
+            lookups = self._pipe.lookups_for_epilogue(batch)
+            for j, line in enumerate(chunk):
+                res = self.process_line(
+                    line, lookups=lookups[j] if seqs[j] else None
+                )
+                if res is not None:
+                    ofs.write(res + "\n")
 
     # ------------------------------------------------------------------
     def _merge(self, per_tax: dict) -> dict:
