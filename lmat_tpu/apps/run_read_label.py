@@ -56,7 +56,10 @@ def run(args) -> Classifier:
                 continue
             if not hdr:
                 hdr = f"unknown_hdr:{i + 1}"
-            f.write(clf.classify(hdr, seq) + "\n")
+            line = clf.classify(hdr, seq)
+            # reference quirk: reads rejected inside construct_labels leave
+            # the header/read prefix without a newline (read_label.cpp:727-733)
+            f.write(line if line.endswith("\t") else line + "\n")
             n += 1
     clf.write_fastsummary(base + ".fastsummary", args.rank_ids)
     clf.write_nomatchsum(base + ".nomatchsum")

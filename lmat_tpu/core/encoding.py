@@ -130,8 +130,9 @@ class ReadKmers:
         run_id = np.cumsum(~valid)  # constant within a run of valid bases
         gc = _GC_LUT[np.frombuffer(seq, dtype=np.uint8) if isinstance(seq, (bytes, bytearray)) else np.asarray(seq, np.uint8)].astype(np.int64)
         if L:
-            runs = np.bincount(run_id[valid]) if valid.any() else np.zeros(1, np.int64)
-            long_run = np.zeros(runs.shape[0], bool)
+            nruns = int(run_id[-1]) + 1
+            runs = np.bincount(run_id[valid], minlength=nruns)
+            long_run = np.zeros(nruns, bool)
             long_run[runs >= k] = True
             base_in_long = valid & long_run[run_id]
             self.valid_tot_cnt = int(base_in_long.sum())
