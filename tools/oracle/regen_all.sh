@@ -17,4 +17,28 @@ python3 /root/reference/bin/summary.py "$WORK"/cs_out.summ "$FIX"/ranks.dat \
     "$WORK"/rl_nonull.0.30.fastsummary "$FIX"/low_numid_plasmids.txt \
     "$WORK"/cs_ordered plasmid,species,genus > "$WORK"/summary.log
 
+# pruning / feed / edge-case goldens
+ORACLE=${ORACLE:-/tmp/lmat_oracle}
+RL="LD_PRELOAD=$ORACLE/efence.so $ORACLE/bin/read_label -e $FIX/depth.dat \
+  -c $FIX/taxtree.dat -i $FIX/reads.fa -t 1 -p -x 0 -j 30 -l 0 -b 1.0 \
+  -u $FIX/taxids.info -w $FIX/ranks.dat"
+eval "$RL -d $WORK/fixture.db -g 2 -m $FIX/numeric_ranks -o $WORK/rl_prune" \
+    > "$WORK"/rl_prune.log 2>&1
+
+rm -f "$WORK"/feed.db
+"$ORACLE"/bin/make_db_table -k 20 -i "$WORK"/taxhisto.bin -o "$WORK"/feed.db -s 4 \
+    -j "$FIX"/human_kmers.txt -c "$(wc -l < "$FIX"/human_kmers.txt)" \
+    -u "$FIX"/adaptor_kmers.txt > "$WORK"/make_db_feed.log 2>&1
+eval "$RL -d $WORK/feed.db -o $WORK/rl_feed" > "$WORK"/rl_feed.log 2>&1
+
+python3 "$HERE"/make_edge_fixture.py "$FIX"
+eval "LD_PRELOAD=$ORACLE/efence.so $ORACLE/bin/read_label -e $FIX/depth.dat \
+  -c $FIX/taxtree.dat -d $WORK/fixture.db -i $FIX/edge_reads.fa -t 1 -p -x 0 \
+  -j 30 -l 0 -b 1.0 -u $FIX/taxids.info -w $FIX/ranks.dat -o $WORK/rl_edge" \
+    > "$WORK"/rl_edge.log 2>&1
+eval "LD_PRELOAD=$ORACLE/efence.so $ORACLE/bin/read_label -e $FIX/depth.dat \
+  -c $FIX/taxtree.dat -d $WORK/fixture.db -i $FIX/edge_reads.fq -q -t 1 -p -x 0 \
+  -j 30 -l 0 -b 1.0 -u $FIX/taxids.info -w $FIX/ranks.dat -o $WORK/rl_edgefq" \
+    > "$WORK"/rl_edgefq.log 2>&1
+
 echo "regen complete"
