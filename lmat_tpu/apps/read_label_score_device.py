@@ -83,6 +83,25 @@ class DeviceScorer:
         self.idx_human = idx_of(9606)
         self.idx_art = idx_of(32630)
 
+        # packed per-node attributes: one wide gather instead of several
+        # narrow ones in the hot loops
+        # columns: euler_in, euler_out, raw_tid(low31)|human<<31 ... keep
+        # simple: [euler_in, euler_out, raw_tid, flags]
+        flags = (
+            human.astype(np.int32)
+            | (phix.astype(np.int32) << 1)
+            | (plasmid.astype(np.int32) << 2)
+        )
+        self.node_pack = jnp.asarray(
+            np.stack(
+                [arr["euler_in"].astype(np.int32),
+                 arr["euler_out"].astype(np.int32),
+                 arr["tids"].astype(np.int32),
+                 flags],
+                axis=1,
+            )
+        )
+
         # null model arrays
         self.null = null_model
         self.num_bins = num_bins
@@ -156,22 +175,26 @@ class DeviceScorer:
         B, P, T = tids.shape
 
         # --- special-tid handling (read_label.cpp:1031-1046) --------------
-        raw_tid = jnp.take(jnp.asarray(self.tids.astype(np.int32)), tids, mode="clip")
+        pack = jnp.take(self.node_pack, tids, axis=0, mode="clip")  # [B,P,T,4]
+        raw_tid = pack[..., 2]
         skip = (raw_tid == 20999999) | (raw_tid == 12721) | (raw_tid == 693660)
         if collapse_human:
-            hm = jnp.take(self.is_human, tids, mode="clip") & tmask
+            hm = ((pack[..., 3] & 1) != 0) & tmask
             first_h = jnp.cumsum(hm.astype(jnp.int32), axis=-1)
             # keep the first human slot (mapped to 9606), drop later ones
             keep_h = hm & (first_h == 1)
             tids = jnp.where(keep_h, self.idx_human, tids)
+            pack = jnp.where(
+                keep_h[..., None], self.node_pack[self.idx_human][None, None, None, :], pack
+            )
             tmask = tmask & (~hm | keep_h)
         tmask = tmask & ~skip
 
         # --- per-position ancestor suppression ----------------------------
-        # hoist Euler-table gathers out of all pairwise tests: one gather per
-        # (b,p,t), afterwards ancestor checks are pure compares
-        e_in_t = jnp.take(self.euler_in, tids, mode="clip")   # [B,P,T]
-        e_out_t = jnp.take(self.euler_out, tids, mode="clip")
+        # the packed gather gives all per-observation attributes at once;
+        # ancestor checks below are pure compares
+        e_in_t = pack[..., 0]
+        e_out_t = pack[..., 1]
         # kept iff not a proper ancestor of any other observed tid at pos
         anc_pair = (
             (e_in_t[..., :, None] < e_in_t[..., None, :])
@@ -201,11 +224,10 @@ class DeviceScorer:
         flat1 = jnp.where(kept, tids, SENTINEL).reshape(B, P * T)
         cand1, n1, ovf1 = unique_cap(flat1)
 
-        # per-candidate kept-occurrence counts (leaf_track)
-        cnt1 = jnp.zeros((B, C), jnp.int32)
-        for t in range(T):
-            m = (tids[:, :, t][:, :, None] == cand1[:, None, :]) & kept[:, :, t][:, :, None]
-            cnt1 = cnt1 + jnp.sum(m.astype(jnp.int32), axis=1)
+        # per-candidate kept-occurrence membership, computed once and reused
+        # by the counting and presence passes
+        m_all = (tids[:, :, :, None] == cand1[:, None, None, :]) & kept[..., None]
+        cnt1 = jnp.sum(m_all.astype(jnp.int32), axis=(1, 2))
 
         # representative strain per species among strain candidates:
         # max (count, -taxid); reference ties keep the smaller taxid
@@ -244,18 +266,17 @@ class DeviceScorer:
         # --- presence/found counts [B,C] ----------------------------------
         e_in_c = jnp.take(self.euler_in, cand, mode="clip")    # [B,C]
         e_out_c = jnp.take(self.euler_out, cand, mode="clip")
+        # qualify per (b,p,t) straight from the membership tensor
+        q_all = jnp.any(m_all & qualify1[:, None, None, :], axis=3)  # [B,P,T]
         pres_any = jnp.zeros((B, P, C), bool)
         for t in range(T):
             tt = tids[:, :, t]  # [B,P]
             kk = kept[:, :, t]
-            # qualify flag of this tid via stage-1 membership
-            m1 = tt[:, :, None] == cand1[:, None, :]  # [B,P,C]
-            q_t = jnp.any(m1 & qualify1[:, None, :], axis=2) & kk
             direct = (tt[:, :, None] == cand[:, None, :]) & kk[:, :, None]
             ein = e_in_t[:, :, t][:, :, None]
             anc = (
                 (e_in_c[:, None, :] < ein) & (ein < e_out_c[:, None, :])
-            ) & q_t[:, :, None]
+            ) & q_all[:, :, t][:, :, None]
             pres_any = pres_any | direct | anc
         found_cnt = jnp.sum(pres_any.astype(jnp.int32), axis=1)
 
