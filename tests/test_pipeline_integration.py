@@ -1,0 +1,74 @@
+"""End-to-end pipeline over two samples through the CLI surfaces:
+partition -> run-rl per sample -> gene-label -> content-summ -> multi-sample
+table + BIOM, using fixture runtime inputs."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from lmat_tpu.apps.partition_fasta import partition_fasta
+from lmat_tpu.reporting.biom import fastsummary_to_biom
+from lmat_tpu.reporting.multi_table import multi_table
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures", "golden_small")
+
+
+def cli(args, cwd):
+    r = subprocess.run(
+        [sys.executable, "-m", "lmat_tpu.cli.main"] + args,
+        cwd=cwd, capture_output=True, text=True,
+        env={**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(__file__))},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r.stdout
+
+
+@pytest.mark.slow
+def test_two_sample_pipeline(tmp_path):
+    # build db once
+    cli(["make-db", "-i", FIX + "/work/taxhisto.bin", "-o", str(tmp_path / "db"),
+         "--tax-histo", "-k", "20", "--max-tids", "8"], str(tmp_path))
+    # split the fixture into two samples
+    partition_fasta(FIX + "/reads.fa", 2, str(tmp_path / "sample"))
+    summaries = []
+    for i in range(2):
+        odir = tmp_path / f"s{i}"
+        odir.mkdir()
+        cli(["--lmat-dir", FIX, "run-rl", "--db_file", str(tmp_path / "db"),
+             "--query_file", str(tmp_path / f"sample.{i}"),
+             "--odir", str(odir), "--min_read_kmer", "30"], str(tmp_path))
+        fs = [f for f in os.listdir(odir) if f.endswith(".fastsummary")]
+        assert fs, os.listdir(odir)
+        summaries.append((f"s{i}", str(odir / fs[0]), 200))
+        # rank reports generated
+        assert any(f.endswith(".species") for f in os.listdir(odir))
+        # gene pass on the .out file
+        outf = [f for f in os.listdir(odir) if f.endswith("0.out")][0]
+        cli(["gene-label", "-l", str(odir / outf), "-d", FIX + "/work/genekmers.0",
+             "-g", FIX + "/gene_names.txt.gz", "-o", str(odir / "gl")], str(tmp_path))
+        assert os.path.exists(odir / "gl.0.1.20.genesummary")
+        # content summarization
+        cli(["--lmat-dir", FIX, "content-summ", "-f", str(odir / outf),
+             "-l", str(odir / fs[0]), "-o", str(odir / "cs.summ")], str(tmp_path))
+        assert os.path.exists(odir / "cs.summ")
+        assert os.path.exists(odir / "cs.summ.ordered.species")
+
+    # cross-sample outputs
+    table = multi_table(summaries, str(tmp_path / "table.txt"), min_score=0.0)
+    rows = open(table).read().splitlines()
+    assert rows[0] == "Name\tTaxID\ts0\ts1" and len(rows) > 5
+    biom = fastsummary_to_biom(
+        [(n, p) for n, p, _ in summaries], str(tmp_path / "t.biom")
+    )
+    assert os.path.getsize(biom) > 200
+
+    # the two samples' read counts add up to the full fixture's
+    total = 0
+    for _, p, _ in summaries:
+        total += sum(int(l.split("\t")[1]) for l in open(p))
+    golden = sum(
+        int(l.split("\t")[1]) for l in open(FIX + "/work/rl_nonull.0.30.fastsummary")
+    )
+    assert total == golden
