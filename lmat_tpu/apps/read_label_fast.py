@@ -85,14 +85,18 @@ class FastClassifier:
         return self._format(reads, self.step(pad_batch([s for _, s in reads])), out)
 
     def _format(self, reads, dev_out, out=None):
+        import jax
+
         cfg = self.scorer.cfg
-        ints, flts, cand, score, order, overflow = dev_out
+        # one batched device_get: per-array fetches each pay a full
+        # host<->device round trip, which dominates over remote links
+        ints, flts, cand, score, order, overflow = jax.device_get(dev_out)
         res = {
-            "ints": np.asarray(ints).tolist(),
-            "flts": np.asarray(flts).tolist(),
-            "cand": np.asarray(cand).tolist(),
-            "score": np.asarray(score).tolist(),
-            "order": np.asarray(order).tolist(),
+            "ints": ints.tolist(),
+            "flts": flts.tolist(),
+            "cand": cand.tolist(),
+            "score": score.tolist(),
+            "order": order.tolist(),
         }
         assert int(overflow) == 0, "candidate cap overflow; raise max_candidates"
         lines = []
@@ -100,7 +104,9 @@ class FastClassifier:
             line = f"{hdr}\t{seq}\t" + self._finish_read(i, seq, res, cfg)
             lines.append(line)
         if out is not None:
-            out.write("\n".join(lines) + "\n")
+            # reference quirk: reads rejected inside construct_labels leave
+            # the header/read prefix without a newline (read_label.cpp:727-733)
+            out.write("".join(l if l.endswith("\t") else l + "\n" for l in lines))
         return lines
 
     def _finish_read(self, i, seq, res, cfg) -> str:

@@ -83,10 +83,8 @@ class DeviceScorer:
         self.idx_human = idx_of(9606)
         self.idx_art = idx_of(32630)
 
-        # packed per-node attributes: one wide gather instead of several
-        # narrow ones in the hot loops
-        # columns: euler_in, euler_out, raw_tid(low31)|human<<31 ... keep
-        # simple: [euler_in, euler_out, raw_tid, flags]
+        # packed per-node attributes: one wide row gather per candidate table
+        # instead of several element gathers in the hot loops
         flags = (
             human.astype(np.int32)
             | (phix.astype(np.int32) << 1)
@@ -96,8 +94,12 @@ class DeviceScorer:
             np.stack(
                 [arr["euler_in"].astype(np.int32),
                  arr["euler_out"].astype(np.int32),
+                 arr["depth"].astype(np.int32),
+                 arr["rank_code"].astype(np.int32),
+                 arr["species_anc"].astype(np.int32),
                  arr["tids"].astype(np.int32),
-                 flags],
+                 flags,
+                 np.zeros(n, np.int32)],
                 axis=1,
             )
         )
@@ -132,10 +134,18 @@ class DeviceScorer:
                 [(vec[i - 1] + vec[i]) // 2 for i in range(1, len(vec))], np.int32
             )
 
+    # per-observation flag bits embedded in the remapped arena entries so the
+    # scorer needs no per-observation attribute gathers at all
+    IDX_BITS = 24
+    IDX_MASK = (1 << 24) - 1
+    HUMAN_BIT = np.uint32(1 << 24)   # human-clade collapse (read_label.cpp:1031-1037)
+    SKIP_BIT = np.uint32(1 << 25)    # badGenomes/20999999 skip (read_label.cpp:1038)
+
     # ------------------------------------------------------------------
     def remap_index_tids(self, kidx):
         """Return a copy of a KmerIndex whose arena stores dense node indices
-        (uint32); unknown taxids map to 0 (the reference would abort)."""
+        (uint32) with HUMAN/SKIP flag bits ORed into the high bits; unknown
+        taxids map to 0 (the reference would abort)."""
         import copy
 
         out = copy.copy(kidx)
@@ -144,10 +154,17 @@ class DeviceScorer:
             flat = kidx.conv_table[flat]
             out.conv_table = None
         sorted_tids = self.tids.astype(np.int64)
+        assert len(sorted_tids) < (1 << self.IDX_BITS), "taxonomy too large for flag packing"
         pos = np.searchsorted(sorted_tids, flat.astype(np.int64))
         pos = np.clip(pos, 0, len(sorted_tids) - 1)
         hit = sorted_tids[pos] == flat
-        out.tid_flat = np.where(hit, pos, 0).astype(np.uint32)
+        node = np.where(hit, pos, 0).astype(np.uint32)
+        raw = flat.astype(np.int64)
+        human = np.isin(raw, (9606, 63221, 741158))
+        skip = np.isin(raw, (20999999, 12721, 693660))
+        node |= np.where(human, self.HUMAN_BIT, np.uint32(0))
+        node |= np.where(skip, self.SKIP_BIT, np.uint32(0))
+        out.tid_flat = node
         return out
 
     # ------------------------------------------------------------------
@@ -163,48 +180,38 @@ class DeviceScorer:
     # ------------------------------------------------------------------
     def score_batch(self, probe, collapse_human=True):
         """probe: dict from the probe pipeline with tids already REMAPPED to
-        dense node indices.  Returns a dict of [B]-shaped result arrays and
-        [B,C] candidate tables (for output formatting)."""
+        dense node indices (+flag bits).  Returns a dict of [B]-shaped result
+        arrays and [B,C] candidate tables (for output formatting).
+
+        The per-observation work is reformulated in *candidate space*: one
+        sort+unique yields the per-read candidate table [B,C]; all ancestor
+        tests and occurrence counts then run as [B,C,C] compares and bf16
+        one-hot matmuls on the MXU instead of per-observation gathers
+        (row/element gathers are the TPU bottleneck, matmuls are ~free)."""
         import jax
         import jax.numpy as jnp
 
         cfg = self.cfg
         C = cfg.max_candidates
-        tids = probe["tids"].astype(jnp.int32)  # [B,P,T] dense idx
+        raw_obs = probe["tids"].astype(jnp.uint32)  # [B,P,T] node idx | flags
         tmask = probe["tmask"]
-        B, P, T = tids.shape
+        B, P, T = raw_obs.shape
+
+        tids = (raw_obs & jnp.uint32(self.IDX_MASK)).astype(jnp.int32)
+        obs_h = (raw_obs & jnp.uint32(self.HUMAN_BIT)) != 0
+        obs_skip = (raw_obs & jnp.uint32(self.SKIP_BIT)) != 0
 
         # --- special-tid handling (read_label.cpp:1031-1046) --------------
-        pack = jnp.take(self.node_pack, tids, axis=0, mode="clip")  # [B,P,T,4]
-        raw_tid = pack[..., 2]
-        skip = (raw_tid == 20999999) | (raw_tid == 12721) | (raw_tid == 693660)
         if collapse_human:
-            hm = ((pack[..., 3] & 1) != 0) & tmask
+            hm = obs_h & tmask
             first_h = jnp.cumsum(hm.astype(jnp.int32), axis=-1)
             # keep the first human slot (mapped to 9606), drop later ones
             keep_h = hm & (first_h == 1)
             tids = jnp.where(keep_h, self.idx_human, tids)
-            pack = jnp.where(
-                keep_h[..., None], self.node_pack[self.idx_human][None, None, None, :], pack
-            )
             tmask = tmask & (~hm | keep_h)
-        tmask = tmask & ~skip
+        tmask = tmask & ~obs_skip
 
-        # --- per-position ancestor suppression ----------------------------
-        # the packed gather gives all per-observation attributes at once;
-        # ancestor checks below are pure compares
-        e_in_t = pack[..., 0]
-        e_out_t = pack[..., 1]
-        # kept iff not a proper ancestor of any other observed tid at pos
-        anc_pair = (
-            (e_in_t[..., :, None] < e_in_t[..., None, :])
-            & (e_in_t[..., None, :] < e_out_t[..., :, None])
-        )  # [B,P,T,T] anc(t_i, t_j)
-        other = tmask[..., None, :] & tmask[..., :, None]
-        suppressed = jnp.any(anc_pair & other, axis=-1)
-        kept = tmask & ~suppressed
-
-        # --- stage 1: candidate set of kept tids (sort+unique, cap C) -----
+        # --- candidate set of observed tids (sort+unique, cap C) ----------
         SENTINEL = jnp.int32(self.n_nodes + 7)
 
         def unique_cap(flat):
@@ -221,21 +228,41 @@ class DeviceScorer:
             n = jnp.minimum(total, C)
             return out, n, jnp.max(jnp.maximum(total - C, 0))
 
-        flat1 = jnp.where(kept, tids, SENTINEL).reshape(B, P * T)
+        flat1 = jnp.where(tmask, tids, SENTINEL).reshape(B, P * T)
         cand1, n1, ovf1 = unique_cap(flat1)
 
-        # per-candidate kept-occurrence membership, computed once and reused
-        # by the counting and presence passes
-        m_all = (tids[:, :, :, None] == cand1[:, None, None, :]) & kept[..., None]
-        cnt1 = jnp.sum(m_all.astype(jnp.int32), axis=(1, 2))
+        # per-stage1-candidate attributes: one row gather
+        pk1 = jnp.take(self.node_pack, cand1, axis=0, mode="clip")  # [B,C,8]
+        e_in1, e_out1 = pk1[..., 0], pk1[..., 1]
+        rank1 = pk1[..., 3]
+        spec1 = pk1[..., 4]
+        raw1 = pk1[..., 5]
 
-        # representative strain per species among strain candidates:
+        # anc1[b,i,j] = cand1[i] proper ancestor of cand1[j] (Euler intervals)
+        anc1 = (e_in1[:, :, None] < e_in1[:, None, :]) & (
+            e_in1[:, None, :] < e_out1[:, :, None]
+        )
+
+        # one-hot observation membership -> per-position candidate occupancy
+        oh = (tids[..., None] == cand1[:, None, None, :]) & tmask[..., None]
+        occ_pos = jnp.any(oh, axis=2)  # [B,P,C]
+
+        # per-position ancestor suppression in candidate space: candidate i
+        # is suppressed at p iff some candidate j observed at p has anc1[i,j]
+        # (read_label.cpp:1067-1134).  Counts are small ints: exact in bf16.
+        MMT = jnp.bfloat16 if C <= 256 else jnp.float32
+        sup = jnp.einsum(
+            "bpj,bij->bpi", occ_pos.astype(MMT), anc1.astype(MMT),
+            preferred_element_type=jnp.float32,
+        )
+        kept_c = occ_pos & ~(sup > 0)  # [B,P,C] kept occurrences
+        cnt1 = jnp.sum(kept_c.astype(jnp.int32), axis=1)  # [B,C]
+        valid1 = cnt1 > 0  # fully-suppressed tids never become candidates
+
+        # representative strain per species among valid strain candidates:
         # max (count, -taxid); reference ties keep the smaller taxid
-        rank1 = jnp.take(self.rank_code, cand1, mode="clip")
-        strain1 = (rank1 == 1) & (cand1 < SENTINEL)
-        spec1 = jnp.take(self.species_anc, cand1, mode="clip")
+        strain1 = (rank1 == 1) & (cand1 < SENTINEL) & valid1
         has_spec1 = strain1 & (spec1 >= 0)
-        raw1 = jnp.take(jnp.asarray(self.tids.astype(np.int32)), cand1, mode="clip")
         # pairwise dominance: another same-species strain with more hits, or
         # equal hits and a smaller taxid, displaces this one
         same_spec = (
@@ -248,13 +275,13 @@ class DeviceScorer:
             | ((cnt1[:, None, :] == cnt1[:, :, None]) & (raw1[:, None, :] < raw1[:, :, None]))
         )
         is_rep1 = has_spec1 & ~jnp.any(beats, axis=2)
-        qualify1 = (cand1 < SENTINEL) & (~strain1 | is_rep1)
+        qualify1 = valid1 & (cand1 < SENTINEL) & (~strain1 | is_rep1)
 
         # --- stage 2: final candidates = stage1 + qualifying paths --------
         paths1 = jnp.take(self.path_mat, cand1, axis=0, mode="clip")  # [B,C,D]
         pv1 = (paths1 >= 0) & qualify1[:, :, None]
         flat2 = jnp.concatenate(
-            [jnp.where(cand1 < SENTINEL, cand1, SENTINEL),
+            [jnp.where(valid1, cand1, SENTINEL),
              jnp.where(pv1, paths1, SENTINEL).reshape(B, C * self.max_path)],
             axis=1,
         )
@@ -262,22 +289,30 @@ class DeviceScorer:
         cmask = jnp.arange(C)[None, :] < n_cand[:, None]
         overflow = jnp.maximum(ovf1, ovf2)
 
-        # qualify per (b,p,t): look up the tid's stage-1 candidate slot
-        # --- presence/found counts [B,C] ----------------------------------
-        e_in_c = jnp.take(self.euler_in, cand, mode="clip")    # [B,C]
-        e_out_c = jnp.take(self.euler_out, cand, mode="clip")
-        # qualify per (b,p,t) straight from the membership tensor
-        q_all = jnp.any(m_all & qualify1[:, None, None, :], axis=3)  # [B,P,T]
-        pres_any = jnp.zeros((B, P, C), bool)
-        for t in range(T):
-            tt = tids[:, :, t]  # [B,P]
-            kk = kept[:, :, t]
-            direct = (tt[:, :, None] == cand[:, None, :]) & kk[:, :, None]
-            ein = e_in_t[:, :, t][:, :, None]
-            anc = (
-                (e_in_c[:, None, :] < ein) & (ein < e_out_c[:, None, :])
-            ) & q_all[:, :, t][:, :, None]
-            pres_any = pres_any | direct | anc
+        # per-final-candidate attributes: one row gather
+        pk = jnp.take(self.node_pack, cand, axis=0, mode="clip")  # [B,C,8]
+        e_in_c, e_out_c = pk[..., 0], pk[..., 1]
+        depth_c = pk[..., 2]
+        fl_c = pk[..., 6]
+        human_c = ((fl_c & 1) != 0) & cmask
+        phix_flag = (fl_c & 2) != 0
+        plasmid_c = (fl_c & 4) != 0
+
+        # --- presence/found counts [B,C] -----------------------------------
+        # M1[b,j,c]: stage1 candidate j contributes presence to final
+        # candidate c — directly (same node) or as a qualified descendant
+        # (read_label.cpp:1143-1204); one bf16 matmul folds the per-position
+        # OR over observations.
+        direct = cand[:, None, :] == cand1[:, :, None]  # [B,C1,C]
+        anc_fc = (e_in_c[:, None, :] < e_in1[:, :, None]) & (
+            e_in1[:, :, None] < e_out_c[:, None, :]
+        )  # cand[c] proper ancestor of cand1[j]
+        M1 = direct | (anc_fc & qualify1[:, :, None])
+        X = jnp.einsum(
+            "bpj,bjc->bpc", kept_c.astype(MMT), M1.astype(MMT),
+            preferred_element_type=jnp.float32,
+        )
+        pres_any = X > 0
         found_cnt = jnp.sum(pres_any.astype(jnp.int32), axis=1)
 
         qvalid = probe["qvalid"]
@@ -326,7 +361,7 @@ class DeviceScorer:
         NEGF = F32(-3.0e38)
         top_score = jnp.max(jnp.where(cmask, score, NEGF), axis=1)
 
-        phix_c = jnp.take(self.is_phix, cand, mode="clip") & cmask
+        phix_c = phix_flag & cmask
         fnd_phix = jnp.any(phix_c, axis=1)
         # last phiX in candidate order wins (insertion-order quirk; with one
         # phiX tid per DB this is unique)
@@ -351,7 +386,6 @@ class DeviceScorer:
             F32(0),
         ).astype(F32)
 
-        human_c = jnp.take(self.is_human, cand, mode="clip") & cmask
         has_human = jnp.any(human_c, axis=1)
         score = jnp.where(
             human_c & has_human[:, None], score + F32(cfg.diff_thresh2) * stdev[:, None], score
@@ -359,13 +393,12 @@ class DeviceScorer:
 
         # --- sort candidates by (score asc, depth asc) --------------------
         # padding sorts FIRST so descending processing starts at the top score
-        depth_c = jnp.take(self.depth, cand, mode="clip")
         sort_key = jnp.where(cmask, score, F32(-3.0e38))
         order = jnp.lexsort((depth_c, sort_key), axis=1)  # [B,C] ascending
 
         diff = stdev * F32(cfg.diff_thresh)
         res = self._find_read_label(cand, score, depth_c, cmask, n_cand, order,
-                                    top_score, diff)
+                                    top_score, diff, e_in_c, e_out_c, plasmid_c)
 
         return {
             "cand": cand, "cmask": cmask, "n_cand": n_cand, "score": score,
@@ -377,8 +410,12 @@ class DeviceScorer:
 
     # ------------------------------------------------------------------
     def _find_read_label(self, cand, score, depth_c, cmask, n_cand, order,
-                         top_score, diff):
-        """Scan-based findReadLabelVer2 (read_label.cpp:284-419)."""
+                         top_score, diff, e_in_c, e_out_c, plasmid_c):
+        """Scan-based findReadLabelVer2 (read_label.cpp:284-419).
+
+        All ancestor tests are precomputed as pairwise [B,C,C] Euler-interval
+        compares and streamed into the scans as per-step xs rows, so the scan
+        bodies are pure elementwise ops (no gathers inside the loops)."""
         import jax
         import jax.numpy as jnp
 
@@ -391,6 +428,29 @@ class DeviceScorer:
         score_s = score[bi[:, None], order]
         depth_s = depth_c[bi[:, None], order]
         valid_s = cmask[bi[:, None], order]
+        e_in_s = e_in_c[bi[:, None], order]
+        e_out_s = e_out_c[bi[:, None], order]
+        pl_s = plasmid_c[bi[:, None], order]
+
+        # ancS[b,i,j] = cand_s[i] proper ancestor of cand_s[j]
+        ancS = (e_in_s[:, :, None] < e_in_s[:, None, :]) & (
+            e_in_s[:, None, :] < e_out_s[:, :, None]
+        )
+
+        rev = jnp.arange(C - 1, -1, -1, dtype=jnp.int32)
+        xs = {
+            "c": jnp.moveaxis(cand_s[:, ::-1], 1, 0),       # [C,B]
+            "sc": jnp.moveaxis(score_s[:, ::-1], 1, 0),
+            "dp": jnp.moveaxis(depth_s[:, ::-1], 1, 0),
+            "ok": jnp.moveaxis(valid_s[:, ::-1], 1, 0),
+            "pl": jnp.moveaxis(pl_s[:, ::-1], 1, 0),
+            "a_cm": jnp.moveaxis(ancS[:, ::-1, :], 1, 0),   # [C,B,C] anc(c_i, members)
+            "a_mc": jnp.moveaxis(
+                jnp.swapaxes(ancS, 1, 2)[:, ::-1, :], 1, 0
+            ),                                              # anc(members, c_i)
+            "i": rev,
+            "onehot": jnp.eye(C, dtype=bool)[::-1],         # [C,C] step -> slot i
+        }
 
         init = {
             "lin": jnp.zeros((B, C), bool),
@@ -405,32 +465,27 @@ class DeviceScorer:
             "first": jnp.ones(B, bool),
         }
 
-        def body(state, j):
-            i = C - 1 - j
-            c = cand_s[:, i]
-            sc = score_s[:, i]
-            dp = depth_s[:, i]
-            ok_pos = valid_s[:, i] & ~state["stopped"]
+        def body(state, x):
+            sc = x["sc"]
+            dp = x["dp"]
+            i = x["i"]
+            ok_pos = x["ok"] & ~state["stopped"]
 
-            pl = jnp.take(self.is_plasmid, c, mode="clip")
-            hit_pl = ok_pos & (sc >= top_score) & pl
+            hit_pl = ok_pos & (sc >= top_score) & x["pl"]
             plasmid_i = jnp.where(hit_pl, i, state["plasmid_i"])
 
             # addToCandLineage test against current lineage members
-            m_depth = depth_s
             in_lin = state["lin"]
-            a_cm = self._anc(c[:, None], cand_s)  # c ancestor of member
-            a_mc = self._anc(cand_s, c[:, None])  # member ancestor of c
             bad = in_lin & (
-                ((m_depth > dp[:, None]) & ~a_cm)
-                | ((m_depth < dp[:, None]) & ~a_mc)
-                | (m_depth == dp[:, None])
+                ((depth_s > dp[:, None]) & ~x["a_cm"])
+                | ((depth_s < dp[:, None]) & ~x["a_mc"])
+                | (depth_s == dp[:, None])
             )
             can_add = ~jnp.any(bad, axis=1)
             adding = ok_pos & ~state["lin_done"] & can_add
             failing = ok_pos & ~state["lin_done"] & ~can_add
 
-            lin = state["lin"].at[:, i].set(state["lin"][:, i] | adding)
+            lin = state["lin"] | (adding[:, None] & x["onehot"][None, :])
             lin_done = state["lin_done"] | failing
             lidx = jnp.where(failing, i, state["lidx"])
 
@@ -450,10 +505,11 @@ class DeviceScorer:
                 "plasmid_i": plasmid_i, "stopped": stopped, "first": first,
             }, None
 
-        state, _ = jax.lax.scan(body, init, jnp.arange(C))
+        state, _ = jax.lax.scan(body, init, xs, unroll=8)
 
         # --- path augmentation of cand_lin --------------------------------
         highest_c = cand_s[bi, state["highest_i"]]
+        e_in_high = e_in_s[bi, state["highest_i"]]
         hpath = jnp.take(self.path_mat, highest_c, axis=0)  # [B,D]
         hvalid = (hpath >= 0) & (state["highest_depth"] > 0)[:, None]
         # score of path nodes if they are candidates (all_cand_set)
@@ -469,27 +525,46 @@ class DeviceScorer:
         comb_idx = jnp.concatenate([cand_s, hpath], axis=1)          # [B,C+D]
         comb_score = jnp.concatenate([score_s, p_score], axis=1)
         comb_valid = jnp.concatenate([state["lin"], hvalid], axis=1)
-        comb_depth = jnp.take(self.depth, comb_idx, mode="clip")
+        comb_pk = jnp.take(self.node_pack, comb_idx, axis=0, mode="clip")
+        comb_depth = comb_pk[..., 2]
+        e_in_comb, e_out_comb = comb_pk[..., 0], comb_pk[..., 1]
         dkey = jnp.where(comb_valid, -comb_depth, 10**6)
         corder = jnp.argsort(dkey, axis=1, stable=True)
         lin_idx = comb_idx[bi[:, None], corder]
         lin_score = comb_score[bi[:, None], corder]
         lin_valid = comb_valid[bi[:, None], corder]
+        e_in_lin = e_in_comb[bi[:, None], corder]
+        e_out_lin = e_out_comb[bi[:, None], corder]
 
         # --- competing-lineage walk (no_good accumulation) ----------------
         CD = C + D
-        anc_lc = self._anc(lin_idx[:, :, None], cand_s[:, None, :])  # [B,CD,C] lin anc-of cand
-        in_add_set = self._anc(cand_s, highest_c[:, None])           # cand in path(highest)
+        # anc_lc[b,e,i] = lin entry e proper ancestor of cand_s[i]
+        anc_lc = (e_in_lin[:, :, None] < e_in_s[:, None, :]) & (
+            e_in_s[:, None, :] < e_out_lin[:, :, None]
+        )
+        # cand_s[i] proper ancestor of highest (in path(highest))
+        in_add_set = (e_in_s < e_in_high[:, None]) & (
+            e_in_high[:, None] < e_out_s
+        )
 
-        def comp_body(st, j):
-            i_arr = st["i"]
-            active = (i_arr >= 0) & ~st["halt"]
-            i = jnp.maximum(i_arr, 0)
-            csc = score_s[bi, i]
-            skip = in_add_set[bi, i] | ~valid_s[bi, i]
-            do = active & ~skip
+        lidx = state["lidx"]
+        xs2 = {
+            "sc": jnp.moveaxis(score_s[:, ::-1], 1, 0),       # [C,B]
+            "skip": jnp.moveaxis((in_add_set | ~valid_s)[:, ::-1], 1, 0),
+            "anc_here": jnp.moveaxis(
+                jnp.swapaxes(anc_lc, 1, 2)[:, ::-1, :], 1, 0
+            ),                                                # [C,B,CD]
+            "i": rev,
+        }
+
+        def comp_body(st, x):
+            # visits original slots i = C-1 .. 0; a slot participates only
+            # once the walk has started there (i <= lidx) and hasn't halted
+            active = (x["i"] <= lidx) & ~st["halt"]
+            csc = x["sc"]
+            do = active & ~x["skip"]
             # inner walk over combined lineage (vectorized with prefix logic)
-            anc_here = anc_lc[bi, :, i]                       # [B,CD]
+            anc_here = x["anc_here"]                          # [B,CD]
             far = lin_valid & (lin_score != F32(UNDEF)) & (
                 (lin_score - csc[:, None]) > diff[:, None]
             )
@@ -503,14 +578,13 @@ class DeviceScorer:
             no_good = st["no_good"] | mark
             stopped_far = do & any_stop & far[bi, stop_pos]
             halt = st["halt"] | stopped_far
-            return {"no_good": no_good, "halt": halt, "i": i_arr - 1}, None
+            return {"no_good": no_good, "halt": halt}, None
 
         comp_init = {
             "no_good": jnp.zeros((B, CD), bool),
             "halt": jnp.zeros(B, bool),
-            "i": state["lidx"],
         }
-        comp_state, _ = jax.lax.scan(comp_body, comp_init, jnp.arange(C))
+        comp_state, _ = jax.lax.scan(comp_body, comp_init, xs2, unroll=8)
         no_good_e = comp_state["no_good"]  # over combined entries pre-sort? no: entries [B,CD] in comb order
 
         # node-level no_good: an entry's node is no_good if any marked entry

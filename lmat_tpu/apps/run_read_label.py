@@ -36,7 +36,11 @@ def run(args) -> Classifier:
         diff_thresh2=args.hbias,
         prn_all=True,
     )
-    clf = Classifier(tax, index, opts, null_model=null)
+    mode = getattr(args, "mode", "exact") or "exact"
+    if mode == "fast":
+        clf = _make_fast(tax, index, args, null)
+    else:
+        clf = Classifier(tax, index, opts, null_model=null)
     n_shards = getattr(args, "shards", 1) or 1
     shard_id = getattr(args, "shard_id", 0) or 0
     base = f"{args.output}.{fmt_float(args.min_score) if args.min_score else '0'}.{args.min_kmer}"
@@ -51,20 +55,75 @@ def run(args) -> Classifier:
         return clf
     n = 0
     with open(out_file, "w") as f:
-        for i, (hdr, seq) in enumerate(iter_reads_lmat(args.reads, fastq=args.fastq)):
-            if n_shards > 1 and i % n_shards != shard_id:
-                continue
-            if not hdr:
-                hdr = f"unknown_hdr:{i + 1}"
-            line = clf.classify(hdr, seq)
-            # reference quirk: reads rejected inside construct_labels leave
-            # the header/read prefix without a newline (read_label.cpp:727-733)
-            f.write(line if line.endswith("\t") else line + "\n")
-            n += 1
+        if mode == "fast":
+            n = _run_fast(clf, args, f, n_shards, shard_id)
+        else:
+            for i, (hdr, seq) in enumerate(iter_reads_lmat(args.reads, fastq=args.fastq)):
+                if n_shards > 1 and i % n_shards != shard_id:
+                    continue
+                if not hdr:
+                    hdr = f"unknown_hdr:{i + 1}"
+                line = clf.classify(hdr, seq)
+                # reference quirk: reads rejected inside construct_labels leave
+                # the header/read prefix without a newline (read_label.cpp:727-733)
+                f.write(line if line.endswith("\t") else line + "\n")
+                n += 1
     clf.write_fastsummary(base + ".fastsummary", args.rank_ids)
     clf.write_nomatchsum(base + ".nomatchsum")
     print(f"classified {n} reads -> {out_file}")
     return clf
+
+
+def _make_fast(tax, index, args, null):
+    """Device (TPU) classifier — the batched jitted pipeline."""
+    from .read_label_fast import FastClassifier
+    from .read_label_score_device import DeviceScorer, DeviceScorerConfig
+
+    cfg = DeviceScorerConfig(
+        max_candidates=getattr(args, "max_candidates", 0) or 128,
+        min_kmer=args.min_kmer,
+        diff_thresh=args.sdiff,
+        diff_thresh2=args.hbias,
+    )
+    scorer = DeviceScorer(tax, cfg, null_model=null)
+    dev = scorer.remap_index_tids(index).to_device()
+    return FastClassifier(dev, scorer, k=index.k, min_score=args.min_score)
+
+
+def _run_fast(clf, args, f, n_shards, shard_id) -> int:
+    """Stream reads through the device pipeline in fixed-shape batches
+    (constant [B, Lmax] so XLA compiles the step once)."""
+    B = getattr(args, "batch", 0) or 512
+    reads = []
+    maxlen = 1
+    for i, (hdr, seq) in enumerate(iter_reads_lmat(args.reads, fastq=args.fastq)):
+        if n_shards > 1 and i % n_shards != shard_id:
+            continue
+        if not hdr:
+            hdr = f"unknown_hdr:{i + 1}"
+        reads.append((hdr, seq))
+        maxlen = max(maxlen, len(seq))
+    pad_to = -(-maxlen // 128) * 128
+    batches = [reads[i : i + B] for i in range(0, len(reads), B)]
+    # fixed shapes: pad the tail batch's read list with empty reads
+    padded = [b + [("", "")] * (B - len(b)) for b in batches]
+    n = 0
+    from .read_label_device import pad_batch
+
+    pending = None
+    for b, pb in list(zip(batches, padded)) + [(None, None)]:
+        nxt = None
+        if b is not None:
+            nxt = (b, clf.step(pad_batch([s for _, s in pb], pad_to=pad_to)))
+        if pending is not None:
+            p_b, p_dev = pending
+            # pass only the real reads: padding rows must not reach the
+            # summary tallies
+            lines = clf._format(p_b, p_dev)
+            f.write("".join(l if l.endswith("\t") else l + "\n" for l in lines))
+            n += len(p_b)
+        pending = nxt
+    return n
 
 
 def main(argv=None):
@@ -83,6 +142,9 @@ def main(argv=None):
     ap.add_argument("-b", "--sdiff", type=float, default=1.0)
     ap.add_argument("-l", "--hbias", type=float, default=0.0)
     ap.add_argument("-q", "--fastq", action="store_true")
+    ap.add_argument("--mode", choices=("exact", "fast"), default="exact")
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--max-candidates", type=int, default=128)
     ap.add_argument("--shards", type=int, default=1, help="round-robin input sharding")
     ap.add_argument("--shard-id", type=int, default=0)
     ap.add_argument("--overwrite", action="store_true")

@@ -172,7 +172,7 @@ def main(argv=None):
     p.add_argument("--tid-cutoff", type=int, default=0)
     p.set_defaults(fn=cmd_make_db)
 
-    p = sub.add_parser("read-label", help="classify reads (host index)")
+    p = sub.add_parser("read-label", help="classify reads")
     p.add_argument("-d", "--db", required=True)
     p.add_argument("-i", "--reads", required=True)
     p.add_argument("-c", "--tax-tree", required=True)
@@ -186,6 +186,11 @@ def main(argv=None):
     p.add_argument("-b", "--sdiff", type=float, default=1.0)
     p.add_argument("-l", "--hbias", type=float, default=0.0)
     p.add_argument("-q", "--fastq", action="store_true")
+    p.add_argument("--mode", choices=("exact", "fast"), default="exact",
+                   help="exact = host epilogue (bit-identical); fast = full "
+                        "device scorer (TPU throughput path)")
+    p.add_argument("--batch", type=int, default=512, help="fast-mode batch size")
+    p.add_argument("--max-candidates", type=int, default=128)
     p.add_argument("--shards", type=int, default=1)
     p.add_argument("--shard-id", type=int, default=0)
     p.add_argument("--overwrite", action="store_true")

@@ -159,42 +159,98 @@ class KmerIndex:
 
     # ---------------- device ------------------------------------------------
 
-    def to_device(self, device=None):
+    # suffix window width: TPU row gathers cost the same for widths 8..64,
+    # so a 32-wide window replaces the last 5 binary-search steps for free
+    _WIN = 32
+    # dense per-k-mer taxid rows are one row gather instead of max_tids
+    # element gathers; cap the padding blow-up at this many bytes
+    _DENSE_LIMIT = 2 << 30
+
+    def to_device(self, device=None, dense_lists: bool | None = None):
+        """Repack the index into TPU-friendly row tables and upload.
+
+        XLA-TPU gathers run ~8x faster when each gathered item is a small
+        contiguous row of a 2D table than as independent element gathers, so
+        the device layout differs from the host layout:
+
+          bucket_tab [n_buckets, 2] int32   (start, count) per prefix
+          suffix2d   [rows, 32]     uint32  sorted suffixes, 0xFFFFFFFF pad
+          rec        [n_kmers, 2]   int32   (tid_start, count<<16 | ng)
+          arena2d    [n_kmers, max_tids] uint32  dense taxid rows (optional)
+
+        When the dense arena would exceed ``_DENSE_LIMIT`` bytes the flat
+        arena is kept and rows are assembled from two aligned row gathers.
+        """
         import jax
+
+        W = self._WIN
+        N = self.n_kmers
+        MT = self.max_tids
+        bs = self.bucket_start.astype(np.int64)
+        bucket_tab = np.stack(
+            [bs[:-1], bs[1:] - bs[:-1]], axis=1
+        ).astype(np.int32)
+
+        rows = (N + W - 1) // W + 1
+        suffix2d = np.full((rows * W,), 0xFFFFFFFF, np.uint32)
+        suffix2d[:N] = self.suffix
+        suffix2d = suffix2d.reshape(rows, W)
+
+        ts = self.tid_start.astype(np.int64)
+        count = (ts[1:] - ts[:-1]).astype(np.int64)
+        meta = (count.astype(np.int32) << 16) | self.ng.astype(np.int32)
+        rec = np.stack([ts[:-1].astype(np.int32), meta], axis=1)
+        if N == 0:
+            rec = np.zeros((1, 2), np.int32)
+
+        if dense_lists is None:
+            dense_lists = N * MT * 4 <= self._DENSE_LIMIT
+        if dense_lists:
+            arena = np.zeros((max(N, 1), MT), np.uint32)
+            # fill rows: positions j < count[i] get tid_flat[ts[i]+j]
+            cols = np.arange(MT)[None, :]
+            msk = cols < count[:, None] if N else np.zeros((1, MT), bool)
+            idx = np.minimum(ts[:-1, None] + cols, max(len(self.tid_flat) - 1, 0))
+            if N:
+                arena[:N] = np.where(msk, self.tid_flat[idx], 0)
+            arena_shape = ("dense", 0)
+        else:
+            A = 1
+            while A < MT:
+                A *= 2
+            arows = (len(self.tid_flat) + A - 1) // A + 1
+            arena = np.zeros((arows * A,), np.uint32)
+            arena[: len(self.tid_flat)] = self.tid_flat
+            arena = arena.reshape(arows, A)
+            arena_shape = ("window", A)
 
         put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
         return DeviceIndex(
             k=self.k,
-            bucket_start=put(self.bucket_start),
-            suffix=put(self.suffix),
-            tid_start=put(self.tid_start.astype(np.int32)),
-            tid_flat=put(self.tid_flat),
-            ng=put(self.ng),
-            max_tids=self.max_tids,
+            bucket_tab=put(bucket_tab),
+            suffix2d=put(suffix2d),
+            rec=put(rec),
+            arena=put(arena),
+            max_tids=MT,
             search_depth=self.search_depth,
+            arena_mode=arena_shape,
             conv_table=put(self.conv_table) if self.conv_table is not None else None,
         )
 
 
 @dataclass
 class DeviceIndex:
-    """Device-resident arrays + the XLA probe."""
+    """Device-resident row tables + the XLA probe (see KmerIndex.to_device)."""
 
     k: int
-    bucket_start: object
-    suffix: object
-    tid_start: object
-    tid_flat: object
-    ng: object
+    bucket_tab: object
+    suffix2d: object
+    rec: object
+    arena: object
     max_tids: int
     search_depth: int
+    arena_mode: tuple = ("dense", 0)
     conv_table: object = None
-
-    def tree_flatten(self):
-        return (
-            (self.bucket_start, self.suffix, self.tid_start, self.tid_flat, self.ng),
-            (self.k, self.max_tids, self.search_depth),
-        )
 
     def lookup(self, hi, lo, valid):
         """Probe a batch of k-mers.
@@ -205,34 +261,65 @@ class DeviceIndex:
         """
         import jax.numpy as jnp
 
-        bs = self.bucket_start
+        W = KmerIndex._WIN
         b = hi.astype(jnp.int32)
-        start = jnp.take(bs, b, mode="clip").astype(jnp.int32)
-        end = jnp.take(bs, b + 1, mode="clip").astype(jnp.int32)
+        bt = jnp.take(self.bucket_tab, b, axis=0, mode="clip")  # [..., 2]
+        left = bt[..., 0]
+        n = bt[..., 1]
 
-        # branchless lower-bound search for `lo` in suffix[start:end)
+        # branchless lower-bound steps until the range fits one window
         lo_u = lo.astype(jnp.uint32)
-        left = start
-        n = end - start
-        for _ in range(self.search_depth):
+        suffix_flat = self.suffix2d.reshape(-1)
+        lgw = W.bit_length() - 1
+        for _ in range(max(0, self.search_depth - lgw)):
             half = n >> 1
             mid = left + half
-            mv = jnp.take(self.suffix, mid, mode="clip")
+            mv = jnp.take(suffix_flat, mid, mode="clip")
             go_right = mv < lo_u
             left = jnp.where(go_right, mid + 1, left)
             n = jnp.where(go_right, n - half - 1, half)
-        pos = left
-        found = valid & (pos < end) & (jnp.take(self.suffix, pos, mode="clip") == lo_u)
 
-        ngv = jnp.where(found, jnp.take(self.ng, pos, mode="clip").astype(jnp.int32), 0)
-        ts = jnp.take(self.tid_start, pos, mode="clip")
-        te = jnp.take(self.tid_start, jnp.where(found, pos + 1, pos), mode="clip")
-        count = te - ts
-        offs = ts[..., None] + jnp.arange(self.max_tids, dtype=jnp.int32)
-        tmask = (jnp.arange(self.max_tids, dtype=jnp.int32) < count[..., None]) & found[..., None]
-        tids = jnp.where(
-            tmask, jnp.take(self.tid_flat, offs, mode="clip"), jnp.uint32(0)
+        # remaining range [left, left+n), n <= W: two aligned rows cover it
+        r = left >> lgw
+        win = jnp.concatenate(
+            [jnp.take(self.suffix2d, r, axis=0, mode="clip"),
+             jnp.take(self.suffix2d, r + 1, axis=0, mode="clip")],
+            axis=-1,
+        )  # [..., 2W]
+        j = jnp.arange(2 * W, dtype=jnp.int32)
+        pos_j = (r << lgw)[..., None] + j
+        hit = (
+            (pos_j >= left[..., None])
+            & (pos_j < (left + n)[..., None])
+            & (win == lo_u[..., None])
         )
+        found = valid & jnp.any(hit, axis=-1)
+        pos = (r << lgw) + jnp.argmax(hit, axis=-1).astype(jnp.int32)
+
+        rc = jnp.take(self.rec, pos, axis=0, mode="clip")  # [..., 2]
+        ts = rc[..., 0]
+        meta = jnp.where(found, rc[..., 1], 0)
+        count = meta >> 16
+        ngv = meta & 0xFFFF
+
+        MT = self.max_tids
+        tmask = (jnp.arange(MT, dtype=jnp.int32) < count[..., None]) & found[..., None]
+        if self.arena_mode[0] == "dense":
+            rows = jnp.take(self.arena, pos, axis=0, mode="clip")  # [..., MT]
+        else:
+            A = self.arena_mode[1]
+            lga = A.bit_length() - 1
+            ra = ts >> lga
+            w = jnp.concatenate(
+                [jnp.take(self.arena, ra, axis=0, mode="clip"),
+                 jnp.take(self.arena, ra + 1, axis=0, mode="clip")],
+                axis=-1,
+            )  # [..., 2A]
+            sh = ts & (A - 1)
+            rows = jnp.zeros(w.shape[:-1] + (MT,), w.dtype)
+            for s in range(A):
+                rows = jnp.where((sh == s)[..., None], w[..., s : s + MT], rows)
+        tids = jnp.where(tmask, rows, jnp.uint32(0))
         if self.conv_table is not None:
             # 16-bit compacted arena: convert back through the id table
             tids = jnp.take(self.conv_table, tids.astype(jnp.int32), mode="clip")
