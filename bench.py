@@ -24,9 +24,9 @@ import numpy as np
 K = 20
 N_KMERS = int(os.environ.get("BENCH_KMERS", 4_000_000))
 N_TAXA_LEAF = int(os.environ.get("BENCH_TAXA", 20_000))
-B = int(os.environ.get("BENCH_BATCH", 512))
+B = int(os.environ.get("BENCH_BATCH", 2048))
 L = int(os.environ.get("BENCH_READLEN", 200))
-N_BATCHES = int(os.environ.get("BENCH_BATCHES", 10))
+N_BATCHES = int(os.environ.get("BENCH_BATCHES", 20))
 MAX_TIDS = 8
 BASELINE_READS_PER_SEC = 2317.0
 
@@ -136,7 +136,7 @@ def main():
     tax, leaves = build_taxonomy()
     idx, kmers, groups = build_index(tax, leaves)
     cfg = DeviceScorerConfig(
-        max_candidates=int(os.environ.get("BENCH_CAND", 48)), min_kmer=30
+        max_candidates=int(os.environ.get("BENCH_CAND", 32)), min_kmer=30
     )
     scorer = DeviceScorer(tax, cfg)
     remapped = scorer.remap_index_tids(idx)

@@ -43,10 +43,12 @@ class FastClassifier:
             prep = prepare_reads(batch, k)
             pr = probe(dev_index, prep)
             out = scorer.score_batch(pr)
-            # pack outputs to minimize host transfers (matters over slow
-            # host<->device links)
+            # pack outputs to minimize host transfer bytes (the fetch round
+            # trip is the critical path over remote host<->device links):
+            # candidates ship pre-sorted as raw taxids, so neither the sort
+            # order nor the node table is needed on the host
             ints = jnp.stack(
-                [out["call_idx"], out["match"], out["n_cand"],
+                [out["call_tid"], out["match"], out["n_cand"],
                  out["cand_kmer_cnt"], out["cnt_fnd"], out["valid_kmers"],
                  out["fnd_phix"].astype(jnp.int32)],
                 axis=1,
@@ -56,29 +58,45 @@ class FastClassifier:
                  out["top_score"], out["phix_score"]],
                 axis=1,
             )
-            return ints, flts, out["cand"], out["score"], out["order"], out["overflow"]
+            return ints, flts, out["tid_sorted"], out["score_sorted"], out["overflow"]
 
         self.step = jax.jit(step)
-        self._tids_list = scorer.tids.tolist()
         self.track_count: dict[int, int] = {}
         self.track_score: dict[int, F] = {}
         self.track_nomatch: dict[int, int] = {}
 
     def classify_stream(self, batches: list[list[tuple[str, str]]], out=None):
-        """Pipelined classification over multiple batches: the next batch's
-        device step is dispatched before the current batch's host formatting,
-        overlapping transfer/compute with CPU work."""
+        """Pipelined classification over multiple batches.
+
+        Three overlapped stages: the device step for batch i+1 is dispatched
+        (async) while a fetch thread pulls batch i's results over the
+        host<->device link and the main thread formats batch i-1.  The fetch
+        round trip — not device compute — is the critical path on remote
+        links, so it gets its own thread."""
+        import jax
+        from concurrent.futures import ThreadPoolExecutor
+
         all_lines = []
-        pending = None
-        for reads in batches + [None]:
-            nxt = None
-            if reads is not None:
-                nxt = (reads, self.step(pad_batch([s for _, s in reads])))
-            if pending is not None:
-                p_reads, p_dev = pending
-                all_lines.extend(self._format(p_reads, p_dev, out))
-            pending = nxt
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fetch = None  # (reads, future of device_get result)
+            for reads in batches + [None]:
+                nxt = None
+                if reads is not None:
+                    dev_out = self.step(self.pad(reads))
+                    nxt = (reads, pool.submit(jax.device_get, dev_out))
+                if fetch is not None:
+                    p_reads, fut = fetch
+                    all_lines.extend(self._format(p_reads, fut.result(), out))
+                fetch = nxt
         return all_lines
+
+    def pad(self, reads, pad_to=None, fixed_rows=None):
+        """Pack (hdr, seq) pairs into the device batch layout; fixed_rows
+        keeps the row count static across a stream's tail batch."""
+        seqs = [s for _, s in reads]
+        if fixed_rows is not None and len(seqs) < fixed_rows:
+            seqs = seqs + [""] * (fixed_rows - len(seqs))
+        return pad_batch(seqs, pad_to=pad_to)
 
     def classify_batch(self, reads: list[tuple[str, str]], out=None):
         """reads: [(header, seq)]; writes lines to `out` (list or file)."""
@@ -90,13 +108,12 @@ class FastClassifier:
         cfg = self.scorer.cfg
         # one batched device_get: per-array fetches each pay a full
         # host<->device round trip, which dominates over remote links
-        ints, flts, cand, score, order, overflow = jax.device_get(dev_out)
+        ints, flts, tid_sorted, score_sorted, overflow = jax.device_get(dev_out)
         res = {
             "ints": ints.tolist(),
             "flts": flts.tolist(),
-            "cand": cand.tolist(),
-            "score": score.tolist(),
-            "order": order.tolist(),
+            "tid": tid_sorted.tolist(),
+            "score": score_sorted.tolist(),
         }
         assert int(overflow) == 0, "candidate cap overflow; raise max_candidates"
         lines = []
@@ -114,8 +131,7 @@ class FastClassifier:
         # exact doubles of the f32 values — '%g' formats them identically to
         # io.cppfmt.fmt_float without the per-call np.float32 wrap
         g = "%g".__mod__
-        tids = self._tids_list
-        call_idx, match, n_cand, cand_kmer_cnt, cnt_fnd, valid_kmers, fnd_phix = res["ints"][i]
+        call_tid, match, n_cand, cand_kmer_cnt, cnt_fnd, valid_kmers, fnd_phix = res["ints"][i]
         call_score, log_avg, stdev, top_score, phix_score = res["flts"][i]
         ri_len = len(seq)
         if ri_len < self.k:
@@ -141,21 +157,21 @@ class FastClassifier:
             )
 
         parts = [f"{g(log_avg)} {g(stdev)} {cand_kmer_cnt}\t"]
-        order_i = res["order"][i]
         score_i = res["score"][i]
-        cand_i = res["cand"][i]
+        tid_i = res["tid"][i]
+        C = len(score_i)
         printed = False
-        for j in range(len(order_i) - 1, -1, -1):
-            c = order_i[j]
-            if c < n_cand and score_i[c] >= 0:
-                parts.append(f" {tids[cand_i[c]]} {g(score_i[c])}")
+        # candidates arrive sorted ascending by (score, depth) with padding
+        # first: the last n_cand entries are the valid ones
+        for j in range(C - 1, C - 1 - n_cand, -1):
+            if score_i[j] >= 0:
+                parts.append(f" {tid_i[j]} {g(score_i[j])}")
                 printed = True
         if not printed:
             parts.append("-1 -1")
         parts.append("\t")
 
         if match in (DIRECT, MULTI, PARTIAL):
-            call_tid = int(tids[call_idx])
             cs = F(call_score)
             parts.append(f"{call_tid} {fmt_float(cs)} {MATCH_STR[match]}")
             if cs >= self.min_score and valid_kmers >= cfg.min_kmer:

@@ -400,12 +400,21 @@ class DeviceScorer:
         res = self._find_read_label(cand, score, depth_c, cmask, n_cand, order,
                                     top_score, diff, e_in_c, e_out_c, plasmid_c)
 
+        # formatting-ready views: raw taxids in print order and the call's
+        # raw taxid, so the host never has to re-index scorer tables
+        bi = jnp.arange(B)[:, None]
+        raw_c = pk[..., 5]
+        tid_sorted = jnp.take_along_axis(raw_c, order, axis=1)
+        score_sorted = jnp.take_along_axis(score, order, axis=1)
+        call_tid = jnp.take(self.node_pack[:, 5], res["call_idx"], mode="clip")
+
         return {
             "cand": cand, "cmask": cmask, "n_cand": n_cand, "score": score,
             "order": order, "cand_kmer_cnt": cand_kmer_cnt, "cnt_fnd": cnt_fnd,
             "valid_kmers": valid_kmers, "log_avg": log_avg, "stdev": stdev,
             "top_score": top_score, "fnd_phix": fnd_phix, "phix_score": phix_score,
-            "overflow": overflow, **res,
+            "overflow": overflow, "tid_sorted": tid_sorted,
+            "score_sorted": score_sorted, "call_tid": call_tid, **res,
         }
 
     # ------------------------------------------------------------------

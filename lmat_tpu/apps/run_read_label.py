@@ -103,26 +103,29 @@ def _run_fast(clf, args, f, n_shards, shard_id) -> int:
             hdr = f"unknown_hdr:{i + 1}"
         reads.append((hdr, seq))
         maxlen = max(maxlen, len(seq))
+    import jax
+    from concurrent.futures import ThreadPoolExecutor
+
     pad_to = -(-maxlen // 128) * 128
     batches = [reads[i : i + B] for i in range(0, len(reads), B)]
-    # fixed shapes: pad the tail batch's read list with empty reads
-    padded = [b + [("", "")] * (B - len(b)) for b in batches]
     n = 0
-    from .read_label_device import pad_batch
-
-    pending = None
-    for b, pb in list(zip(batches, padded)) + [(None, None)]:
-        nxt = None
-        if b is not None:
-            nxt = (b, clf.step(pad_batch([s for _, s in pb], pad_to=pad_to)))
-        if pending is not None:
-            p_b, p_dev = pending
-            # pass only the real reads: padding rows must not reach the
-            # summary tallies
-            lines = clf._format(p_b, p_dev)
-            f.write("".join(l if l.endswith("\t") else l + "\n" for l in lines))
-            n += len(p_b)
-        pending = nxt
+    # three overlapped stages (see FastClassifier.classify_stream): dispatch,
+    # threaded result fetch, host formatting; fixed [B, pad_to] shapes so the
+    # step compiles once (the tail batch is padded with empty reads, which
+    # are not passed to the formatter and so never reach the summaries)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fetch = None
+        for b in batches + [None]:
+            nxt = None
+            if b is not None:
+                dev_out = clf.step(clf.pad(b, pad_to=pad_to, fixed_rows=B))
+                nxt = (b, pool.submit(jax.device_get, dev_out))
+            if fetch is not None:
+                p_b, fut = fetch
+                lines = clf._format(p_b, fut.result())
+                f.write("".join(l if l.endswith("\t") else l + "\n" for l in lines))
+                n += len(p_b)
+            fetch = nxt
     return n
 
 
