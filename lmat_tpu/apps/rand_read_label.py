@@ -33,13 +33,38 @@ def gen_rand_read(rng, read_len: int, beg: int, end: int) -> str:
 
 
 class RandReadLabeler:
-    def __init__(self, taxonomy, index, max_count: int = -1, num_bins: int = 10):
+    def __init__(self, taxonomy, index, max_count: int = -1, num_bins: int = 10,
+                 device: bool = False, batch: int = 1024, max_candidates: int = 128):
         opts = ScoreOptions(max_count=max_count)
         self.clf = Classifier(taxonomy, index, opts)
         self.num_bins = num_bins
         # tid -> [max_score] * bins ; tid -> [count] * bins
         self.max_match: dict[int, list] = {}
         self.match_cnt: dict[int, list] = {}
+        self.device = device
+        self.batch = batch
+        if device:
+            assert max_count <= 0, "query-time pruning is a host-path option"
+            import jax
+
+            from .read_label_device import prepare_reads, probe
+            from .read_label_score_device import DeviceScorer, DeviceScorerConfig
+
+            cfg = DeviceScorerConfig(max_candidates=max_candidates)
+            scorer = DeviceScorer(taxonomy, cfg)
+            dev = scorer.remap_index_tids(index).to_device()
+            k = index.k
+
+            def step(batch_arr):
+                pr = probe(dev, prepare_reads(batch_arr, k))
+                # rkmer.hpp lacks the human collapse (rand_read_label shares
+                # the loop but scores raw taxids)
+                pres = scorer._presence(pr, collapse_human=False)
+                raw = pres["pk"][..., 5]  # raw taxids per candidate
+                return (raw, pres["found_cnt"], pres["n_cand"],
+                        pres["valid_kmers"], pres["overflow"])
+
+            self._step = jax.jit(step)
 
     def gc_ranges(self, num_bins=None):
         """Bin GC ranges as computed at rand_read_label.cpp:668-685."""
@@ -83,10 +108,55 @@ class RandReadLabeler:
     def run(self, num_reads: int, read_len: int, seed: int = 0):
         rng = np.random.default_rng(seed)
         ranges = self.gc_ranges()
+        if self.device:
+            return self._run_device(num_reads, read_len, rng, ranges)
         for i in range(num_reads):
             b = i % self.num_bins
             beg, end = ranges[b]
             self.process_read(gen_rand_read(rng, read_len, beg, end), b)
+
+    def _run_device(self, num_reads: int, read_len: int, rng, ranges):
+        """Batched device scoring of the synthetic reads: same presence
+        pipeline as fast-mode read_label (see DeviceScorer._presence), with
+        the per-(taxid, gc-bin) max/count merge on the host."""
+        import jax
+
+        from .read_label_device import pad_batch
+
+        B = self.batch
+        reads = []
+        for i in range(num_reads):
+            b = i % self.num_bins
+            beg, end = ranges[b]
+            reads.append((gen_rand_read(rng, read_len, beg, end), b))
+        pad_to = -(-read_len // 128) * 128
+        for s in range(0, len(reads), B):
+            chunk = reads[s : s + B]
+            seqs = [r for r, _ in chunk] + [""] * (B - len(chunk))
+            raw, found, n_cand, valid, overflow = jax.device_get(
+                self._step(pad_batch(seqs, pad_to=pad_to))
+            )
+            assert int(overflow) == 0, "raise max_candidates"
+            for i, (_, gc_bucket) in enumerate(chunk):
+                vk = int(valid[i])
+                if vk <= 0:
+                    continue
+                nc = int(n_cand[i])
+                for j in range(nc):
+                    cnt = int(found[i, j])
+                    if cnt == 0:
+                        continue
+                    tid = int(raw[i, j])
+                    label_prob = F(cnt) / F(vk)
+                    if tid not in self.max_match:
+                        self.max_match[tid] = [F(0)] * self.num_bins
+                        self.match_cnt[tid] = [0] * self.num_bins
+                        self.max_match[tid][gc_bucket] = label_prob
+                        self.match_cnt[tid][gc_bucket] = 1
+                    else:
+                        if self.max_match[tid][gc_bucket] < label_prob:
+                            self.max_match[tid][gc_bucket] = label_prob
+                        self.match_cnt[tid][gc_bucket] += 1
 
     def write_rand_lst(self, path: str):
         with open(path, "w") as f:

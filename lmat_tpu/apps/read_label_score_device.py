@@ -178,10 +178,13 @@ class DeviceScorer:
         return (ia < idd) & (idd < oa)
 
     # ------------------------------------------------------------------
-    def score_batch(self, probe, collapse_human=True):
-        """probe: dict from the probe pipeline with tids already REMAPPED to
-        dense node indices (+flag bits).  Returns a dict of [B]-shaped result
-        arrays and [B,C] candidate tables (for output formatting).
+    def _presence(self, probe, collapse_human=True):
+        """Candidate construction + per-candidate presence counts.
+
+        The shared front half of read_label scoring and rand_read_label null
+        generation (reference shares it as src/rkmer.hpp).  Returns a dict
+        with the per-read candidate table and counts; score_batch layers the
+        null model, aggregates and the lineage walk on top.
 
         The per-observation work is reformulated in *candidate space*: one
         sort+unique yields the per-read candidate table [B,C]; all ancestor
@@ -292,11 +295,6 @@ class DeviceScorer:
         # per-final-candidate attributes: one row gather
         pk = jnp.take(self.node_pack, cand, axis=0, mode="clip")  # [B,C,8]
         e_in_c, e_out_c = pk[..., 0], pk[..., 1]
-        depth_c = pk[..., 2]
-        fl_c = pk[..., 6]
-        human_c = ((fl_c & 1) != 0) & cmask
-        phix_flag = (fl_c & 2) != 0
-        plasmid_c = (fl_c & 4) != 0
 
         # --- presence/found counts [B,C] -----------------------------------
         # M1[b,j,c]: stage1 candidate j contributes presence to final
@@ -319,7 +317,41 @@ class DeviceScorer:
         cand_kmer_cnt = jnp.sum(qvalid.astype(jnp.int32), axis=1)
         cnt_fnd = jnp.sum(jnp.any(pres_any, axis=2).astype(jnp.int32), axis=1)
 
-        valid_kmers = probe["valid_kmers"]
+        return {
+            "cand": cand, "cmask": cmask, "n_cand": n_cand, "pk": pk,
+            "found_cnt": found_cnt, "cnt_fnd": cnt_fnd,
+            "cand_kmer_cnt": cand_kmer_cnt, "valid_kmers": probe["valid_kmers"],
+            "overflow": overflow, "bin_sel": probe["bin_sel"],
+        }
+
+    # ------------------------------------------------------------------
+    def score_batch(self, probe, collapse_human=True):
+        """probe: dict from the probe pipeline with tids already REMAPPED to
+        dense node indices (+flag bits).  Returns a dict of [B]-shaped result
+        arrays and [B,C] candidate tables (for output formatting)."""
+        import jax
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        C = cfg.max_candidates
+        pres = self._presence(probe, collapse_human=collapse_human)
+        cand = pres["cand"]
+        cmask = pres["cmask"]
+        n_cand = pres["n_cand"]
+        pk = pres["pk"]
+        found_cnt = pres["found_cnt"]
+        cnt_fnd = pres["cnt_fnd"]
+        cand_kmer_cnt = pres["cand_kmer_cnt"]
+        valid_kmers = pres["valid_kmers"]
+        overflow = pres["overflow"]
+        B = cand.shape[0]
+
+        e_in_c, e_out_c = pk[..., 0], pk[..., 1]
+        depth_c = pk[..., 2]
+        fl_c = pk[..., 6]
+        human_c = ((fl_c & 1) != 0) & cmask
+        phix_flag = (fl_c & 2) != 0
+        plasmid_c = (fl_c & 4) != 0
 
         # --- probabilities and log-odds -----------------------------------
         label_prob = found_cnt.astype(F32) / jnp.maximum(cand_kmer_cnt, 1)[:, None].astype(F32)

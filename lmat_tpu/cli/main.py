@@ -87,6 +87,7 @@ def cmd_run_rl(args):
         null_list=args.nullm, lmat_dir=files["dir"], output=rlofile,
         min_score=args.min_score, min_kmer=args.min_read_kmer,
         sdiff=args.sdiff, hbias=args.hbias, fastq=args.reads.endswith((".fq", ".fastq")),
+        mode=args.mode, batch=args.batch, max_candidates=args.max_candidates,
     )
     rl_run(ns)
     fastsum = f"{rlofile}.{args.min_score if args.min_score else '0'}.{args.min_read_kmer}.fastsummary"
@@ -151,7 +152,8 @@ def cmd_rand_read_label(args):
 
     tax, files = _load_runtime(args)
     idx = KmerIndex.load(args.db)
-    rrl = RandReadLabeler(tax, idx)
+    rrl = RandReadLabeler(tax, idx, device=args.mode == "fast",
+                          batch=args.batch, max_candidates=args.max_candidates)
     rrl.run(num_reads=args.num_reads, read_len=args.read_len, seed=args.seed)
     rrl.write_rand_lst(args.output + ".rand_lst")
     print(f"null observations at {args.output}.rand_lst")
@@ -205,6 +207,9 @@ def main(argv=None):
     p.add_argument("--sdiff", type=float, default=1.0)
     p.add_argument("--hbias", type=float, default=0.0)
     p.add_argument("--nullm", default=None)
+    p.add_argument("--mode", choices=("exact", "fast"), default="exact")
+    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--max-candidates", type=int, default=128)
     p.add_argument("--tax-tree"), p.add_argument("--depth")
     p.add_argument("--rank-file"), p.add_argument("--rank-ids")
     p.set_defaults(fn=cmd_run_rl)
@@ -237,6 +242,10 @@ def main(argv=None):
     p.add_argument("-i", "--read-len", type=int, required=True)
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mode", choices=("exact", "fast"), default="fast",
+                   help="fast = batched device presence pipeline")
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--max-candidates", type=int, default=128)
     p.add_argument("--tax-tree"), p.add_argument("--depth")
     p.add_argument("--rank-file"), p.add_argument("--rank-ids")
     p.set_defaults(fn=cmd_rand_read_label)

@@ -60,3 +60,20 @@ def test_null_pipeline_roundtrip(env, tmp_path):
     for tid, cutoff in hits.items():
         assert len(cutoff) == 10
         assert all(0 < float(c) <= 1.0001 for c in cutoff)
+
+
+def test_device_rand_matches_host(env, tmp_path):
+    """The batched device presence pipeline produces the identical .rand_lst
+    as the host rkmer loop (same seeded reads)."""
+    tax, idx = env
+    host = RandReadLabeler(tax, idx)
+    host.run(num_reads=300, read_len=100, seed=11)
+    f_host = tmp_path / "host.rand_lst"
+    host.write_rand_lst(str(f_host))
+
+    dev = RandReadLabeler(tax, idx, device=True, batch=64, max_candidates=64)
+    dev.run(num_reads=300, read_len=100, seed=11)
+    f_dev = tmp_path / "dev.rand_lst"
+    dev.write_rand_lst(str(f_dev))
+
+    assert f_dev.read_text() == f_host.read_text()
