@@ -139,16 +139,16 @@ class ContentSummarizer:
                     self._store_kmers(read, use_tid)
 
     def _store_kmers(self, read: str, use_tid: int):
+        # per-(k, taxid) k-mer observations accumulate as raw arrays; the
+        # distinct/histogram reduction happens once per taxon in
+        # _comp_kmer_cov via np.unique (no per-k-mer Python)
         b = read.encode()
         for k in self.opts.k_list:
             if len(b) < k:
                 continue
             rk = ReadKmers(b, k)
-            track = self.kmer_track[k].setdefault(use_tid, {})
             sel = rk.valid & ~rk.is_dup
-            for km in rk.kmers[sel]:
-                km = int(km)
-                track[km] = track.get(km, 0) + 1
+            self.kmer_track[k].setdefault(use_tid, []).append(rk.kmers[sel])
 
     # -- output (content_summ.cpp:442-571) ---------------------------------
 
@@ -203,16 +203,22 @@ class ContentSummarizer:
                 fobj.close()
 
     def _comp_kmer_cov(self, tid: int, ofs):
+        import numpy as np
+
         for k in self.opts.k_list:
-            merged = self.kmer_track[k].get(tid, {})
-            kmer_cnt = len(merged)
-            kcnt_sum = sum(merged.values())
-            hist: dict[int, int] = {}
-            for cnt in merged.values():
-                hist[cnt] = hist.get(cnt, 0) + 1
+            chunks = self.kmer_track[k].get(tid, [])
+            arr = (
+                np.concatenate(chunks)
+                if chunks
+                else np.zeros(0, np.uint64)
+            )
+            _, counts = np.unique(arr, return_counts=True)
+            kmer_cnt = int(counts.shape[0])
+            kcnt_sum = int(counts.sum())
+            cnt_vals, cnt_freq = np.unique(counts, return_counts=True)
             ofs.write(
                 f"taxid={tid} distinct_kmer_cnt={kmer_cnt} k_size={k} "
                 f"tot_kmer_cnt={kcnt_sum}\n"
             )
-            for cnt in sorted(hist):
-                ofs.write(f"{tid} {k} {cnt} {hist[cnt]}\n")
+            for cnt, freq in zip(cnt_vals.tolist(), cnt_freq.tolist()):
+                ofs.write(f"{tid} {k} {cnt} {freq}\n")

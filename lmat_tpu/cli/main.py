@@ -159,6 +159,64 @@ def cmd_rand_read_label(args):
     print(f"null observations at {args.output}.rand_lst")
 
 
+def cmd_get_db(args):
+    from ..apps import get_db
+
+    if args.list:
+        for name, desc, size in get_db.list_catalog():
+            print(f"{name:28s} {size:>9s}  {desc}")
+        return
+    if not args.name:
+        import sys
+
+        sys.exit("--name required (or --list)")
+    if args.dtype == "inputs":
+        d = get_db.fetch_inputs(args.name, args.outdir)
+        print(f"runtime inputs at {d}; set LMAT_DIR={d}")
+    else:
+        get_db.fetch(args.name, args.outdir)
+
+
+def cmd_db_prep(args):
+    from ..apps import db_prep
+    from ..core.taxonomy import Taxonomy
+
+    t = args.tool
+    if t == "taxid-list":
+        n = db_prep.tid16_get_32bit_taxids(args.inputs[0], args.output)
+        print(f"{n} taxids -> {args.output}")
+    elif t == "tid16-map":
+        tax = Taxonomy.from_lmat_file(args.tax_tree)
+        mp = db_prep.tid16_mapping(args.inputs[0], tax, args.output)
+        print(f"{len(mp)} ids -> {args.output}")
+    elif t == "numeric-ranks":
+        db_prep.build_numeric_rank_table(args.inputs[0], args.output)
+        print(f"rank table -> {args.output}")
+    elif t == "gi-numbers":
+        out = db_prep.get_gi_numbers(args.inputs[0], args.output)
+        print(f"GIs -> {out}")
+    elif t == "header-table":
+        int_p, gi_tab, tid_tab, miss = db_prep.build_header_table(
+            args.inputs[0], args.gi_map, args.output
+        )
+        print(f"{int_p} ({miss} headers without taxid)")
+    elif t == "combine-fast":
+        db_prep.combine_fast(args.inputs, args.output)
+        print(f"combined -> {args.output}")
+    elif t == "combine-counts":
+        db_prep.combine_counts(args.inputs, args.output)
+        print(f"combined -> {args.output}")
+    elif t == "species-map":
+        tax = Taxonomy.from_lmat_file(args.tax_tree)
+        if args.rank_file:
+            tax.load_rank_file(args.rank_file)
+        db_prep.write_map(db_prep.species_level_map(tax), args.output)
+        print(f"species map -> {args.output}")
+    elif t == "merge-pairs":
+        db_prep.merge_paired_reads(args.inputs[0], args.inputs[1], args.output)
+        print(f"merged -> {args.output}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="lmat-tpu")
     ap.add_argument("--lmat-dir", default=None)
@@ -249,6 +307,24 @@ def main(argv=None):
     p.add_argument("--tax-tree"), p.add_argument("--depth")
     p.add_argument("--rank-file"), p.add_argument("--rank-ids")
     p.set_defaults(fn=cmd_rand_read_label)
+
+    p = sub.add_parser("get-db", help="download databases/runtime inputs (get_db.sh)")
+    p.add_argument("--list", action="store_true")
+    p.add_argument("--name", default=None)
+    p.add_argument("--dtype", choices=("db", "inputs"), default="db")
+    p.add_argument("--outdir", default=".")
+    p.set_defaults(fn=cmd_get_db)
+
+    p = sub.add_parser("db-prep", help="DB preparation utilities")
+    p.add_argument("tool", choices=(
+        "taxid-list", "tid16-map", "numeric-ranks", "gi-numbers",
+        "header-table", "combine-fast", "combine-counts", "species-map",
+        "merge-pairs"))
+    p.add_argument("-i", "--inputs", nargs="+", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--tax-tree"), p.add_argument("--rank-file")
+    p.add_argument("--gi-map")
+    p.set_defaults(fn=cmd_db_prep)
 
     args = ap.parse_args(argv)
     args.fn(args)
