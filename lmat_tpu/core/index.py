@@ -166,8 +166,8 @@ class KmerIndex:
     # element gathers; cap the padding blow-up at this many bytes
     _DENSE_LIMIT = 2 << 30
 
-    def to_device(self, device=None, dense_lists: bool | None = None):
-        """Repack the index into TPU-friendly row tables and upload.
+    def packed_tables(self, dense_lists: bool | None = None):
+        """Repack into TPU-friendly row tables (host numpy).
 
         XLA-TPU gathers run ~8x faster when each gathered item is a small
         contiguous row of a 2D table than as independent element gathers, so
@@ -180,9 +180,8 @@ class KmerIndex:
 
         When the dense arena would exceed ``_DENSE_LIMIT`` bytes the flat
         arena is kept and rows are assembled from two aligned row gathers.
+        Returns (tables dict, arena_mode tuple).
         """
-        import jax
-
         W = self._WIN
         N = self.n_kmers
         MT = self.max_tids
@@ -224,14 +223,25 @@ class KmerIndex:
             arena = arena.reshape(arows, A)
             arena_shape = ("window", A)
 
+        tables = {
+            "bucket_tab": bucket_tab, "suffix2d": suffix2d,
+            "rec": rec, "arena": arena,
+        }
+        return tables, arena_shape
+
+    def to_device(self, device=None, dense_lists: bool | None = None):
+        """Upload the packed row tables (see packed_tables) to the device."""
+        import jax
+
+        tables, arena_shape = self.packed_tables(dense_lists)
         put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
         return DeviceIndex(
             k=self.k,
-            bucket_tab=put(bucket_tab),
-            suffix2d=put(suffix2d),
-            rec=put(rec),
-            arena=put(arena),
-            max_tids=MT,
+            bucket_tab=put(tables["bucket_tab"]),
+            suffix2d=put(tables["suffix2d"]),
+            rec=put(tables["rec"]),
+            arena=put(tables["arena"]),
+            max_tids=self.max_tids,
             search_depth=self.search_depth,
             arena_mode=arena_shape,
             conv_table=put(self.conv_table) if self.conv_table is not None else None,
@@ -261,67 +271,84 @@ class DeviceIndex:
         """
         import jax.numpy as jnp
 
-        W = KmerIndex._WIN
-        b = hi.astype(jnp.int32)
-        bt = jnp.take(self.bucket_tab, b, axis=0, mode="clip")  # [..., 2]
-        left = bt[..., 0]
-        n = bt[..., 1]
-
-        # branchless lower-bound steps until the range fits one window
-        lo_u = lo.astype(jnp.uint32)
-        suffix_flat = self.suffix2d.reshape(-1)
-        lgw = W.bit_length() - 1
-        for _ in range(max(0, self.search_depth - lgw)):
-            half = n >> 1
-            mid = left + half
-            mv = jnp.take(suffix_flat, mid, mode="clip")
-            go_right = mv < lo_u
-            left = jnp.where(go_right, mid + 1, left)
-            n = jnp.where(go_right, n - half - 1, half)
-
-        # remaining range [left, left+n), n <= W: two aligned rows cover it
-        r = left >> lgw
-        win = jnp.concatenate(
-            [jnp.take(self.suffix2d, r, axis=0, mode="clip"),
-             jnp.take(self.suffix2d, r + 1, axis=0, mode="clip")],
-            axis=-1,
-        )  # [..., 2W]
-        j = jnp.arange(2 * W, dtype=jnp.int32)
-        pos_j = (r << lgw)[..., None] + j
-        hit = (
-            (pos_j >= left[..., None])
-            & (pos_j < (left + n)[..., None])
-            & (win == lo_u[..., None])
+        found, ngv, tids, tmask = probe_packed(
+            self.bucket_tab, self.suffix2d, self.rec, self.arena,
+            self.arena_mode, self.search_depth, self.max_tids,
+            hi.astype(jnp.int32), lo, valid,
         )
-        found = valid & jnp.any(hit, axis=-1)
-        pos = (r << lgw) + jnp.argmax(hit, axis=-1).astype(jnp.int32)
-
-        rc = jnp.take(self.rec, pos, axis=0, mode="clip")  # [..., 2]
-        ts = rc[..., 0]
-        meta = jnp.where(found, rc[..., 1], 0)
-        count = meta >> 16
-        ngv = meta & 0xFFFF
-
-        MT = self.max_tids
-        tmask = (jnp.arange(MT, dtype=jnp.int32) < count[..., None]) & found[..., None]
-        if self.arena_mode[0] == "dense":
-            rows = jnp.take(self.arena, pos, axis=0, mode="clip")  # [..., MT]
-        else:
-            A = self.arena_mode[1]
-            lga = A.bit_length() - 1
-            ra = ts >> lga
-            w = jnp.concatenate(
-                [jnp.take(self.arena, ra, axis=0, mode="clip"),
-                 jnp.take(self.arena, ra + 1, axis=0, mode="clip")],
-                axis=-1,
-            )  # [..., 2A]
-            sh = ts & (A - 1)
-            rows = jnp.zeros(w.shape[:-1] + (MT,), w.dtype)
-            for s in range(A):
-                rows = jnp.where((sh == s)[..., None], w[..., s : s + MT], rows)
-        tids = jnp.where(tmask, rows, jnp.uint32(0))
         if self.conv_table is not None:
             # 16-bit compacted arena: convert back through the id table
             tids = jnp.take(self.conv_table, tids.astype(jnp.int32), mode="clip")
             tids = jnp.where(tmask, tids, jnp.uint32(0))
         return found, ngv, tids, tmask
+
+
+def probe_packed(bucket_tab, suffix2d, rec, arena, arena_mode, search_depth,
+                 max_tids, b, lo, valid):
+    """Row-table probe shared by the single-chip DeviceIndex and the
+    shard-local half of the all-to-all router.
+
+    b: int32 bucket id [...] (already shard-local for sharded tables);
+    lo: uint32 suffix; valid: bool.  See KmerIndex.packed_tables for layout.
+    """
+    import jax.numpy as jnp
+
+    W = KmerIndex._WIN
+    bt = jnp.take(bucket_tab, b, axis=0, mode="clip")  # [..., 2]
+    left = bt[..., 0]
+    n = bt[..., 1]
+
+    # branchless lower-bound steps until the range fits one window
+    lo_u = lo.astype(jnp.uint32)
+    suffix_flat = suffix2d.reshape(-1)
+    lgw = W.bit_length() - 1
+    for _ in range(max(0, search_depth - lgw)):
+        half = n >> 1
+        mid = left + half
+        mv = jnp.take(suffix_flat, mid, mode="clip")
+        go_right = mv < lo_u
+        left = jnp.where(go_right, mid + 1, left)
+        n = jnp.where(go_right, n - half - 1, half)
+
+    # remaining range [left, left+n), n <= W: two aligned rows cover it
+    r = left >> lgw
+    win = jnp.concatenate(
+        [jnp.take(suffix2d, r, axis=0, mode="clip"),
+         jnp.take(suffix2d, r + 1, axis=0, mode="clip")],
+        axis=-1,
+    )  # [..., 2W]
+    j = jnp.arange(2 * W, dtype=jnp.int32)
+    pos_j = (r << lgw)[..., None] + j
+    hit = (
+        (pos_j >= left[..., None])
+        & (pos_j < (left + n)[..., None])
+        & (win == lo_u[..., None])
+    )
+    found = valid & jnp.any(hit, axis=-1)
+    pos = (r << lgw) + jnp.argmax(hit, axis=-1).astype(jnp.int32)
+
+    rc = jnp.take(rec, pos, axis=0, mode="clip")  # [..., 2]
+    ts = rc[..., 0]
+    meta = jnp.where(found, rc[..., 1], 0)
+    count = meta >> 16
+    ngv = meta & 0xFFFF
+
+    MT = max_tids
+    tmask = (jnp.arange(MT, dtype=jnp.int32) < count[..., None]) & found[..., None]
+    if arena_mode[0] == "dense":
+        rows = jnp.take(arena, pos, axis=0, mode="clip")  # [..., MT]
+    else:
+        A = arena_mode[1]
+        lga = A.bit_length() - 1
+        ra = ts >> lga
+        w = jnp.concatenate(
+            [jnp.take(arena, ra, axis=0, mode="clip"),
+             jnp.take(arena, ra + 1, axis=0, mode="clip")],
+            axis=-1,
+        )  # [..., 2A]
+        sh = ts & (A - 1)
+        rows = jnp.zeros(w.shape[:-1] + (MT,), w.dtype)
+        for s in range(A):
+            rows = jnp.where((sh == s)[..., None], w[..., s : s + MT], rows)
+    tids = jnp.where(tmask, rows, jnp.uint32(0))
+    return found, ngv, tids, tmask

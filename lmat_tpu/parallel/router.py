@@ -25,89 +25,84 @@ from ..core.index import KmerIndex
 
 @dataclass
 class ShardedIndex:
-    """Stacked per-shard arrays; leading dim = shard, padded to max size."""
+    """Stacked per-shard packed row tables (KmerIndex.packed_tables layout);
+    leading dim = shard, padded to the max shard size."""
 
     k: int
     n_shards: int
     buckets_per_shard: int
-    bucket_start: np.ndarray  # [S, per+1] shard-local offsets
-    suffix: np.ndarray        # [S, max_kmers]
-    tid_start: np.ndarray     # [S, max_kmers+1]
-    tid_flat: np.ndarray      # [S, max_arena]
-    ng: np.ndarray            # [S, max_kmers]
+    bucket_tab: np.ndarray   # [S, per, 2]
+    suffix2d: np.ndarray     # [S, rows, W]
+    rec: np.ndarray          # [S, max_kmers, 2]
+    arena: np.ndarray        # [S, ...] dense or windowed (same mode per shard)
+    arena_mode: tuple
     max_tids: int
     search_depth: int
 
     @classmethod
-    def from_index(cls, idx: KmerIndex, n_shards: int) -> "ShardedIndex":
+    def from_index(cls, idx: KmerIndex, n_shards: int,
+                   dense_lists: bool | None = None) -> "ShardedIndex":
         n_buckets = idx.bucket_start.shape[0] - 1
         assert n_buckets % n_shards == 0, "bucket count must divide by shards"
         per = n_buckets // n_shards
-        bs, sf, ts, tf, ng = [], [], [], [], []
+        if dense_lists is None:
+            # one decision for all shards so the traced probe is uniform
+            dense_lists = idx.n_kmers * idx.max_tids * 4 <= KmerIndex._DENSE_LIMIT
+        packs = []
         for s in range(n_shards):
             b0, b1 = s * per, (s + 1) * per
             k0, k1 = int(idx.bucket_start[b0]), int(idx.bucket_start[b1])
             a0, a1 = int(idx.tid_start[k0]), int(idx.tid_start[k1])
-            bs.append(idx.bucket_start[b0 : b1 + 1].astype(np.int64) - k0)
-            sf.append(idx.suffix[k0:k1])
-            ts.append(idx.tid_start[k0 : k1 + 1].astype(np.int64) - a0)
-            tf.append(idx.tid_flat[a0:a1])
-            ng.append(idx.ng[k0:k1])
+            sub = KmerIndex(
+                k=idx.k,
+                bucket_start=(idx.bucket_start[b0 : b1 + 1].astype(np.int64) - k0),
+                suffix=idx.suffix[k0:k1],
+                tid_start=(idx.tid_start[k0 : k1 + 1].astype(np.int64) - a0),
+                tid_flat=idx.tid_flat[a0:a1],
+                ng=idx.ng[k0:k1],
+                max_tids=idx.max_tids,
+                search_depth=idx.search_depth,
+            )
+            packs.append(sub.packed_tables(dense_lists=dense_lists))
+        arena_mode = packs[0][1]
 
-        def stack(arrs, dtype):
+        def stack(key):
+            arrs = [p[0][key] for p in packs]
             m = max(a.shape[0] for a in arrs)
-            out = np.zeros((n_shards, m), dtype)
+            out = np.zeros((n_shards, m) + arrs[0].shape[1:], arrs[0].dtype)
             for i, a in enumerate(arrs):
                 out[i, : a.shape[0]] = a
-                if a.shape[0] < m:  # pad tails with the last value (monotone)
-                    out[i, a.shape[0] :] = a[-1] if a.shape[0] else 0
             return out
 
         return cls(
             k=idx.k,
             n_shards=n_shards,
             buckets_per_shard=per,
-            bucket_start=stack(bs, np.int32),
-            suffix=stack(sf, np.uint32),
-            tid_start=stack(ts, np.int32),
-            tid_flat=stack(tf, np.uint32),
-            ng=stack(ng, np.uint16),
+            bucket_tab=stack("bucket_tab"),
+            suffix2d=stack("suffix2d"),
+            rec=stack("rec"),
+            arena=stack("arena"),
+            arena_mode=arena_mode,
             max_tids=idx.max_tids,
             search_depth=idx.search_depth,
         )
 
 
 def _local_probe(shard_arrays, per_buckets, shard_id, search_depth, max_tids,
-                 hi, lo, valid):
-    """Probe shard-local arrays; hi is the global bucket id."""
+                 arena_mode, hi, lo, valid):
+    """Probe shard-local packed tables; hi is the global bucket id."""
     import jax.numpy as jnp
 
-    bucket_start, suffix, tid_start, tid_flat, ng_arr = shard_arrays
+    from ..core.index import probe_packed
+
+    bucket_tab, suffix2d, rec, arena = shard_arrays
     b = hi.astype(jnp.int32) - shard_id * per_buckets
     in_range = (b >= 0) & (b < per_buckets)
     b = jnp.clip(b, 0, per_buckets - 1)
-    start = jnp.take(bucket_start, b, mode="clip")
-    end = jnp.take(bucket_start, b + 1, mode="clip")
-    lo_u = lo.astype(jnp.uint32)
-    left = start
-    n = end - start
-    for _ in range(search_depth):
-        half = n >> 1
-        mid = left + half
-        mv = jnp.take(suffix, mid, mode="clip")
-        go_right = mv < lo_u
-        left = jnp.where(go_right, mid + 1, left)
-        n = jnp.where(go_right, n - half - 1, half)
-    pos = left
-    found = valid & in_range & (pos < end) & (jnp.take(suffix, pos, mode="clip") == lo_u)
-    ngv = jnp.where(found, jnp.take(ng_arr, pos, mode="clip").astype(jnp.int32), 0)
-    ts = jnp.take(tid_start, pos, mode="clip")
-    te = jnp.take(tid_start, jnp.where(found, pos + 1, pos), mode="clip")
-    count = te - ts
-    offs = ts[..., None] + jnp.arange(max_tids, dtype=jnp.int32)
-    tmask = (jnp.arange(max_tids, dtype=jnp.int32) < count[..., None]) & found[..., None]
-    tids = jnp.where(tmask, jnp.take(tid_flat, offs, mode="clip"), jnp.uint32(0))
-    return found, ngv, tids, tmask
+    return probe_packed(
+        bucket_tab, suffix2d, rec, arena, arena_mode, search_depth, max_tids,
+        b, lo, valid & in_range,
+    )
 
 
 def make_sharded_lookup(mesh, sidx: ShardedIndex, q_per_device: int, cap: int | None = None):
@@ -129,9 +124,9 @@ def make_sharded_lookup(mesh, sidx: ShardedIndex, q_per_device: int, cap: int | 
     if cap is None:
         cap = q_per_device  # safe upper bound
 
-    def body(bucket_start, suffix, tid_start, tid_flat, ng_arr, hi, lo, valid):
+    def body(bucket_tab, suffix2d, rec, arena, hi, lo, valid):
         shard_id = jax.lax.axis_index("db")
-        arrays = (bucket_start[0], suffix[0], tid_start[0], tid_flat[0], ng_arr[0])
+        arrays = (bucket_tab[0], suffix2d[0], rec[0], arena[0])
         Q = hi.shape[0]
 
         owner = jnp.clip(hi.astype(jnp.int32) // per, 0, S - 1)
@@ -164,7 +159,7 @@ def make_sharded_lookup(mesh, sidx: ShardedIndex, q_per_device: int, cap: int | 
         recv_valid = a2a(send_valid)
 
         found, ngv, tids, tmask = _local_probe(
-            arrays, per, shard_id, depth, T,
+            arrays, per, shard_id, depth, T, sidx.arena_mode,
             recv_hi.reshape(-1), recv_lo.reshape(-1), recv_valid.reshape(-1)
         )
         r_found = a2a(found.reshape(S, cap))
@@ -187,7 +182,7 @@ def make_sharded_lookup(mesh, sidx: ShardedIndex, q_per_device: int, cap: int | 
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(specs_db, specs_db, specs_db, specs_db, specs_db,
+        in_specs=(specs_db, specs_db, specs_db, specs_db,
                   spec_q, spec_q, spec_q),
         out_specs=(spec_q, spec_q, spec_q, spec_q, P()),
         check_vma=False,
@@ -195,7 +190,7 @@ def make_sharded_lookup(mesh, sidx: ShardedIndex, q_per_device: int, cap: int | 
 
     def wrapped(hi, lo, valid):
         return fn(
-            sidx.bucket_start, sidx.suffix, sidx.tid_start, sidx.tid_flat, sidx.ng,
+            sidx.bucket_tab, sidx.suffix2d, sidx.rec, sidx.arena,
             hi, lo, valid,
         )
 
