@@ -146,9 +146,17 @@ def main():
     batches = [make_reads(kmers, groups, rng, B) for _ in range(N_BATCHES)]
     fast.classify_batch(batches[0])  # warm/compile
 
+    from lmat_tpu.io.native_writer import native_available
+
     t0 = time.time()
-    lines = fast.classify_stream(batches)
-    n_reads = len(lines)
+    if native_available():
+        import io as _io
+
+        sink = _io.BytesIO()
+        n_reads = fast.classify_stream_native(batches, sink)
+        assert sink.getvalue()
+    else:
+        n_reads = len(fast.classify_stream(batches))
     dt = time.time() - t0
     rps = n_reads / dt
 

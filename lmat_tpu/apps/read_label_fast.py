@@ -90,6 +90,31 @@ class FastClassifier:
                 fetch = nxt
         return all_lines
 
+    def classify_stream_native(self, batches, out, pad_to=None, fixed_rows=None):
+        """Like classify_stream but formats with the native C formatter and
+        writes the final byte stream to a binary sink; returns the read
+        count.  Requires io.native_writer.native_available()."""
+        import jax
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = 0
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fetch = None
+            for reads in batches + [None]:
+                nxt = None
+                if reads is not None:
+                    dev_out = self.step(
+                        self.pad(reads, pad_to=pad_to, fixed_rows=fixed_rows)
+                    )
+                    nxt = (reads, pool.submit(jax.device_get, dev_out))
+                if fetch is not None:
+                    p_reads, fut = fetch
+                    data = self.format_native(p_reads, fut.result())
+                    out.write(data)
+                    n += len(p_reads)
+                fetch = nxt
+        return n
+
     def pad(self, reads, pad_to=None, fixed_rows=None):
         """Pack (hdr, seq) pairs into the device batch layout; fixed_rows
         keeps the row count static across a stream's tail batch."""
@@ -97,6 +122,35 @@ class FastClassifier:
         if fixed_rows is not None and len(seqs) < fixed_rows:
             seqs = seqs + [""] * (fixed_rows - len(seqs))
         return pad_batch(seqs, pad_to=pad_to)
+
+    def format_native(self, reads, dev_out):
+        """Format a fetched batch with the native C formatter; returns the
+        final byte stream (newlines and the reject quirk included) and
+        updates the summary tallies.  Returns None when the native library
+        is unavailable — callers fall back to _format."""
+        import jax
+
+        from ..io.native_writer import fmt_out_lines
+
+        cfg = self.scorer.cfg
+        ints, flts, tid_sorted, score_sorted, overflow = jax.device_get(dev_out)
+        assert int(overflow) == 0, "candidate cap overflow; raise max_candidates"
+        res = fmt_out_lines(
+            ints, flts, tid_sorted, score_sorted, reads,
+            self.k, cfg.min_kmer, cfg.min_fnd_kmer, cfg.screen_phix,
+            self.min_score,
+        )
+        if res is None:
+            return None
+        data, track_tid, track_score, nomatch = res
+        for i in range(len(reads)):
+            t = int(track_tid[i])
+            if t >= 0:
+                self._track(t, track_score[i])
+            k = int(nomatch[i])
+            if k >= 0:
+                self._nomatch(k)
+        return data
 
     def classify_batch(self, reads: list[tuple[str, str]], out=None):
         """reads: [(header, seq)]; writes lines to `out` (list or file)."""

@@ -106,8 +106,15 @@ def _run_fast(clf, args, f, n_shards, shard_id) -> int:
     import jax
     from concurrent.futures import ThreadPoolExecutor
 
+    from ..io.native_writer import native_available
+
     pad_to = -(-maxlen // 128) * 128
     batches = [reads[i : i + B] for i in range(0, len(reads), B)]
+    if native_available():
+        # C formatter writes the final byte stream (quirk rows included)
+        return clf.classify_stream_native(
+            batches, getattr(f, "buffer", f), pad_to=pad_to, fixed_rows=B
+        )
     n = 0
     # three overlapped stages (see FastClassifier.classify_stream): dispatch,
     # threaded result fetch, host formatting; fixed [B, pad_to] shapes so the
