@@ -108,23 +108,47 @@ def _run_fast(clf, args, f, n_shards, shard_id) -> int:
 
     from ..io.native_writer import native_available
 
-    pad_to = -(-maxlen // 128) * 128
     batches = [reads[i : i + B] for i in range(0, len(reads), B)]
+
+    def ladder(n_bases: int) -> int:
+        """Pad length per batch from a doubling ladder: keeps input order
+        and bounds the number of compiled step shapes, without letting one
+        long read (contig) pad every batch to the global max."""
+        L = 128
+        while L < n_bases:
+            L *= 2
+        return L
+
+    pads = [ladder(max(len(s) for _, s in b)) for b in batches]
     if native_available():
         # C formatter writes the final byte stream (quirk rows included)
-        return clf.classify_stream_native(
-            batches, getattr(f, "buffer", f), pad_to=pad_to, fixed_rows=B
-        )
+        sink = getattr(f, "buffer", f)
+        n = 0
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fetch = None
+            for item in list(zip(batches, pads)) + [None]:
+                nxt = None
+                if item is not None:
+                    b, pad_to = item
+                    dev_out = clf.step(clf.pad(b, pad_to=pad_to, fixed_rows=B))
+                    nxt = (b, pool.submit(jax.device_get, dev_out))
+                if fetch is not None:
+                    p_b, fut = fetch
+                    sink.write(clf.format_native(p_b, fut.result()))
+                    n += len(p_b)
+                fetch = nxt
+        return n
     n = 0
     # three overlapped stages (see FastClassifier.classify_stream): dispatch,
-    # threaded result fetch, host formatting; fixed [B, pad_to] shapes so the
-    # step compiles once (the tail batch is padded with empty reads, which
-    # are not passed to the formatter and so never reach the summaries)
+    # threaded result fetch, host formatting; per-batch ladder [B, L] shapes
+    # (the tail batch is padded with empty reads, which are not passed to
+    # the formatter and so never reach the summaries)
     with ThreadPoolExecutor(max_workers=1) as pool:
         fetch = None
-        for b in batches + [None]:
+        for item in list(zip(batches, pads)) + [None]:
             nxt = None
-            if b is not None:
+            if item is not None:
+                b, pad_to = item
                 dev_out = clf.step(clf.pad(b, pad_to=pad_to, fixed_rows=B))
                 nxt = (b, pool.submit(jax.device_get, dev_out))
             if fetch is not None:
