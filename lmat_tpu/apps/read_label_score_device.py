@@ -218,15 +218,22 @@ class DeviceScorer:
         SENTINEL = jnp.int32(self.n_nodes + 7)
 
         def unique_cap(flat):
+            # sort + first-occurrence mask; the compaction into [B,C] slots
+            # runs as a one-hot f32 matmul — a row scatter here costs ~7x
+            # more than the MXU pass (values < 2^24 are exact in f32)
             s = jnp.sort(flat, axis=1)
             uniq = jnp.concatenate(
                 [jnp.ones((B, 1), bool), s[:, 1:] != s[:, :-1]], axis=1
             ) & (s < SENTINEL)
             pos = jnp.cumsum(uniq.astype(jnp.int32), axis=1) - 1
-            out = jnp.full((B, C), SENTINEL, jnp.int32)
-            out = out.at[
-                jnp.arange(B)[:, None], jnp.where(uniq & (pos < C), pos, C - 1)
-            ].set(jnp.where(uniq & (pos < C), s, SENTINEL), mode="drop")
+            oh = uniq[:, :, None] & (
+                pos[:, :, None] == jnp.arange(C, dtype=jnp.int32)[None, None, :]
+            )
+            out = jnp.einsum(
+                "bj,bjc->bc", s.astype(jnp.float32), oh.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            out = jnp.where(jnp.any(oh, axis=1), out, SENTINEL)
             total = jnp.max(pos, axis=1) + 1
             n = jnp.minimum(total, C)
             return out, n, jnp.max(jnp.maximum(total - C, 0))

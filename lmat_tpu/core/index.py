@@ -173,14 +173,19 @@ class KmerIndex:
         contiguous row of a 2D table than as independent element gathers, so
         the device layout differs from the host layout:
 
-          bucket_tab [n_buckets, 2] int32   (start, count) per prefix
-          suffix2d   [rows, 32]     uint32  sorted suffixes, 0xFFFFFFFF pad
-          rec        [n_kmers, 2]   int32   (tid_start, count<<16 | ng)
-          arena2d    [n_kmers, max_tids] uint32  dense taxid rows (optional)
+          bucket_tab  [n_buckets, 2] int32  (start, count) per prefix
+          suffix_over [rows, 64]    uint32  sorted suffixes in OVERLAPPING
+                                    windows (row r covers positions
+                                    [32r, 32r+64)) so any <=32-wide range is
+                                    one row gather; 0xFFFFFFFF pad
+          arena       dense: [n_kmers, 1+max_tids] uint32 rows of
+                      (count<<16|ng, tids...) — the whole per-k-mer record
+                      in one gather
+                      windowed: flat taxid arena in [rows, A] aligned rows +
+                      rec [n_kmers, 2] int32 (tid_start, count<<16|ng)
 
-        When the dense arena would exceed ``_DENSE_LIMIT`` bytes the flat
-        arena is kept and rows are assembled from two aligned row gathers.
-        Returns (tables dict, arena_mode tuple).
+        The windowed arena is used when dense rows would exceed
+        ``_DENSE_LIMIT`` bytes.  Returns (tables dict, arena_mode tuple).
         """
         W = self._WIN
         N = self.n_kmers
@@ -191,27 +196,27 @@ class KmerIndex:
         ).astype(np.int32)
 
         rows = (N + W - 1) // W + 1
-        suffix2d = np.full((rows * W,), 0xFFFFFFFF, np.uint32)
-        suffix2d[:N] = self.suffix
-        suffix2d = suffix2d.reshape(rows, W)
+        flat = np.full(((rows + 1) * W,), 0xFFFFFFFF, np.uint32)
+        flat[:N] = self.suffix
+        idx2 = np.arange(rows)[:, None] * W + np.arange(2 * W)[None, :]
+        suffix_over = flat[idx2]
 
         ts = self.tid_start.astype(np.int64)
         count = (ts[1:] - ts[:-1]).astype(np.int64)
-        meta = (count.astype(np.int32) << 16) | self.ng.astype(np.int32)
-        rec = np.stack([ts[:-1].astype(np.int32), meta], axis=1)
-        if N == 0:
-            rec = np.zeros((1, 2), np.int32)
+        meta = (count.astype(np.uint32) << 16) | self.ng.astype(np.uint32)
 
         if dense_lists is None:
-            dense_lists = N * MT * 4 <= self._DENSE_LIMIT
+            dense_lists = N * (MT + 1) * 4 <= self._DENSE_LIMIT
         if dense_lists:
-            arena = np.zeros((max(N, 1), MT), np.uint32)
-            # fill rows: positions j < count[i] get tid_flat[ts[i]+j]
+            arena = np.zeros((max(N, 1), 1 + MT), np.uint32)
+            # col 0 = packed meta; cols 1.. = taxid list (padded with 0)
             cols = np.arange(MT)[None, :]
             msk = cols < count[:, None] if N else np.zeros((1, MT), bool)
             idx = np.minimum(ts[:-1, None] + cols, max(len(self.tid_flat) - 1, 0))
             if N:
-                arena[:N] = np.where(msk, self.tid_flat[idx], 0)
+                arena[:N, 0] = meta
+                arena[:N, 1:] = np.where(msk, self.tid_flat[idx], 0)
+            rec = np.zeros((1, 2), np.int32)  # unused in dense mode
             arena_shape = ("dense", 0)
         else:
             A = 1
@@ -221,10 +226,15 @@ class KmerIndex:
             arena = np.zeros((arows * A,), np.uint32)
             arena[: len(self.tid_flat)] = self.tid_flat
             arena = arena.reshape(arows, A)
+            rec = np.stack(
+                [ts[:-1].astype(np.int32), meta.astype(np.int32)], axis=1
+            )
+            if N == 0:
+                rec = np.zeros((1, 2), np.int32)
             arena_shape = ("window", A)
 
         tables = {
-            "bucket_tab": bucket_tab, "suffix2d": suffix2d,
+            "bucket_tab": bucket_tab, "suffix_over": suffix_over,
             "rec": rec, "arena": arena,
         }
         return tables, arena_shape
@@ -238,7 +248,7 @@ class KmerIndex:
         return DeviceIndex(
             k=self.k,
             bucket_tab=put(tables["bucket_tab"]),
-            suffix2d=put(tables["suffix2d"]),
+            suffix_over=put(tables["suffix_over"]),
             rec=put(tables["rec"]),
             arena=put(tables["arena"]),
             max_tids=self.max_tids,
@@ -254,7 +264,7 @@ class DeviceIndex:
 
     k: int
     bucket_tab: object
-    suffix2d: object
+    suffix_over: object
     rec: object
     arena: object
     max_tids: int
@@ -272,7 +282,7 @@ class DeviceIndex:
         import jax.numpy as jnp
 
         found, ngv, tids, tmask = probe_packed(
-            self.bucket_tab, self.suffix2d, self.rec, self.arena,
+            self.bucket_tab, self.suffix_over, self.rec, self.arena,
             self.arena_mode, self.search_depth, self.max_tids,
             hi.astype(jnp.int32), lo, valid,
         )
@@ -283,10 +293,11 @@ class DeviceIndex:
         return found, ngv, tids, tmask
 
 
-def probe_packed(bucket_tab, suffix2d, rec, arena, arena_mode, search_depth,
+def probe_packed(bucket_tab, suffix_over, rec, arena, arena_mode, search_depth,
                  max_tids, b, lo, valid):
     """Row-table probe shared by the single-chip DeviceIndex and the
-    shard-local half of the all-to-all router.
+    shard-local half of the all-to-all router: three row gathers per query
+    in the dense layout (bucket pair, suffix window, k-mer record row).
 
     b: int32 bucket id [...] (already shard-local for sharded tables);
     lo: uint32 suffix; valid: bool.  See KmerIndex.packed_tables for layout.
@@ -298,25 +309,24 @@ def probe_packed(bucket_tab, suffix2d, rec, arena, arena_mode, search_depth,
     left = bt[..., 0]
     n = bt[..., 1]
 
-    # branchless lower-bound steps until the range fits one window
+    # branchless lower-bound steps until the range fits one window; element
+    # positions map into the overlapping-row layout as (p>>lgw)*2W + p%W
     lo_u = lo.astype(jnp.uint32)
-    suffix_flat = suffix2d.reshape(-1)
     lgw = W.bit_length() - 1
-    for _ in range(max(0, search_depth - lgw)):
-        half = n >> 1
-        mid = left + half
-        mv = jnp.take(suffix_flat, mid, mode="clip")
-        go_right = mv < lo_u
-        left = jnp.where(go_right, mid + 1, left)
-        n = jnp.where(go_right, n - half - 1, half)
+    if search_depth > lgw:
+        suffix_flat = suffix_over.reshape(-1)
+        for _ in range(search_depth - lgw):
+            half = n >> 1
+            mid = left + half
+            fidx = ((mid >> lgw) << (lgw + 1)) | (mid & (W - 1))
+            mv = jnp.take(suffix_flat, fidx, mode="clip")
+            go_right = mv < lo_u
+            left = jnp.where(go_right, mid + 1, left)
+            n = jnp.where(go_right, n - half - 1, half)
 
-    # remaining range [left, left+n), n <= W: two aligned rows cover it
+    # remaining range [left, left+n), n <= W: one overlapping row covers it
     r = left >> lgw
-    win = jnp.concatenate(
-        [jnp.take(suffix2d, r, axis=0, mode="clip"),
-         jnp.take(suffix2d, r + 1, axis=0, mode="clip")],
-        axis=-1,
-    )  # [..., 2W]
+    win = jnp.take(suffix_over, r, axis=0, mode="clip")  # [..., 2W]
     j = jnp.arange(2 * W, dtype=jnp.int32)
     pos_j = (r << lgw)[..., None] + j
     hit = (
@@ -327,17 +337,15 @@ def probe_packed(bucket_tab, suffix2d, rec, arena, arena_mode, search_depth,
     found = valid & jnp.any(hit, axis=-1)
     pos = (r << lgw) + jnp.argmax(hit, axis=-1).astype(jnp.int32)
 
-    rc = jnp.take(rec, pos, axis=0, mode="clip")  # [..., 2]
-    ts = rc[..., 0]
-    meta = jnp.where(found, rc[..., 1], 0)
-    count = meta >> 16
-    ngv = meta & 0xFFFF
-
     MT = max_tids
-    tmask = (jnp.arange(MT, dtype=jnp.int32) < count[..., None]) & found[..., None]
     if arena_mode[0] == "dense":
-        rows = jnp.take(arena, pos, axis=0, mode="clip")  # [..., MT]
+        row = jnp.take(arena, pos, axis=0, mode="clip")  # [..., 1+MT]
+        meta = jnp.where(found, row[..., 0], jnp.uint32(0)).astype(jnp.int32)
+        rows = row[..., 1:]
     else:
+        rc = jnp.take(rec, pos, axis=0, mode="clip")  # [..., 2]
+        ts = rc[..., 0]
+        meta = jnp.where(found, rc[..., 1], 0)
         A = arena_mode[1]
         lga = A.bit_length() - 1
         ra = ts >> lga
@@ -350,5 +358,8 @@ def probe_packed(bucket_tab, suffix2d, rec, arena, arena_mode, search_depth,
         rows = jnp.zeros(w.shape[:-1] + (MT,), w.dtype)
         for s in range(A):
             rows = jnp.where((sh == s)[..., None], w[..., s : s + MT], rows)
+    count = meta >> 16
+    ngv = meta & 0xFFFF
+    tmask = (jnp.arange(MT, dtype=jnp.int32) < count[..., None]) & found[..., None]
     tids = jnp.where(tmask, rows, jnp.uint32(0))
     return found, ngv, tids, tmask

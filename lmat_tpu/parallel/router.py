@@ -32,7 +32,7 @@ class ShardedIndex:
     n_shards: int
     buckets_per_shard: int
     bucket_tab: np.ndarray   # [S, per, 2]
-    suffix2d: np.ndarray     # [S, rows, W]
+    suffix_over: np.ndarray  # [S, rows, 2W]
     rec: np.ndarray          # [S, max_kmers, 2]
     arena: np.ndarray        # [S, ...] dense or windowed (same mode per shard)
     arena_mode: tuple
@@ -79,7 +79,7 @@ class ShardedIndex:
             n_shards=n_shards,
             buckets_per_shard=per,
             bucket_tab=stack("bucket_tab"),
-            suffix2d=stack("suffix2d"),
+            suffix_over=stack("suffix_over"),
             rec=stack("rec"),
             arena=stack("arena"),
             arena_mode=arena_mode,
@@ -95,12 +95,12 @@ def _local_probe(shard_arrays, per_buckets, shard_id, search_depth, max_tids,
 
     from ..core.index import probe_packed
 
-    bucket_tab, suffix2d, rec, arena = shard_arrays
+    bucket_tab, suffix_over, rec, arena = shard_arrays
     b = hi.astype(jnp.int32) - shard_id * per_buckets
     in_range = (b >= 0) & (b < per_buckets)
     b = jnp.clip(b, 0, per_buckets - 1)
     return probe_packed(
-        bucket_tab, suffix2d, rec, arena, arena_mode, search_depth, max_tids,
+        bucket_tab, suffix_over, rec, arena, arena_mode, search_depth, max_tids,
         b, lo, valid & in_range,
     )
 
@@ -124,9 +124,9 @@ def make_sharded_lookup(mesh, sidx: ShardedIndex, q_per_device: int, cap: int | 
     if cap is None:
         cap = q_per_device  # safe upper bound
 
-    def body(bucket_tab, suffix2d, rec, arena, hi, lo, valid):
+    def body(bucket_tab, suffix_over, rec, arena, hi, lo, valid):
         shard_id = jax.lax.axis_index("db")
-        arrays = (bucket_tab[0], suffix2d[0], rec[0], arena[0])
+        arrays = (bucket_tab[0], suffix_over[0], rec[0], arena[0])
         Q = hi.shape[0]
 
         owner = jnp.clip(hi.astype(jnp.int32) // per, 0, S - 1)
@@ -190,7 +190,7 @@ def make_sharded_lookup(mesh, sidx: ShardedIndex, q_per_device: int, cap: int | 
 
     def wrapped(hi, lo, valid):
         return fn(
-            sidx.bucket_tab, sidx.suffix2d, sidx.rec, sidx.arena,
+            sidx.bucket_tab, sidx.suffix_over, sidx.rec, sidx.arena,
             hi, lo, valid,
         )
 
