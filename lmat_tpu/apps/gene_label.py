@@ -131,6 +131,14 @@ class GeneLabeler:
                     gene_track[gid] += 1
         if not geneid_lst:
             return None
+        return self._finish_read(hdr, read, taxid, tscore, geneid_lst,
+                                 gene_track, valid_cnt)
+
+    def _finish_read(self, hdr, read, taxid, tscore, geneid_lst, gene_track,
+                     valid_cnt):
+        """Best-gene selection + line formatting + summary tallies
+        (gene_label.cpp:288-302); geneid_lst must be in first-occurrence
+        order so the exact std::sort tie permutation is reproduced."""
         gsort = [(g, gene_track[g]) for g in geneid_lst]
         gnu_sort(gsort, lambda a, b: a[1] > b[1])
         gl, best_cnt = gsort[0]
@@ -165,23 +173,95 @@ class GeneLabeler:
                         if res is not None:
                             ofs.write(res + "\n")
 
-    def _run_device(self, f, ofs, batch_size: int = 512):
-        from .read_label_device import DevicePipeline, pad_batch
+    def _make_gene_step(self, C: int):
+        """Jitted batched step: probe -> per-read gene-candidate table with
+        occurrence counts and first-occurrence ranks.  The gene ids are raw
+        (no taxonomy remap), so the unique compaction splits values into two
+        16-bit one-hot matmuls to stay exact in f32."""
+        import jax
+        import jax.numpy as jnp
 
-        if not hasattr(self, "_pipe"):
-            self._pipe = DevicePipeline(self.index.to_device(), k=self.opts.k)
+        from .read_label_device import prepare_reads, probe
+
+        dev = self.index.to_device()
+        k = self.opts.k
+        SENT = jnp.int32(0x7FFFFFFF)
+
+        def step(batch):
+            pr = probe(dev, prepare_reads(batch, k))
+            gids = pr["tids"].astype(jnp.int32)
+            tmask = pr["tmask"]
+            B, P, T = gids.shape
+            flat = jnp.where(tmask, gids, SENT).reshape(B, P * T)
+            s = jnp.sort(flat, axis=1)
+            uniq = jnp.concatenate(
+                [jnp.ones((B, 1), bool), s[:, 1:] != s[:, :-1]], axis=1
+            ) & (s < SENT)
+            pos = jnp.cumsum(uniq.astype(jnp.int32), axis=1) - 1
+            oh = uniq[:, :, None] & (
+                pos[:, :, None] == jnp.arange(C, dtype=jnp.int32)[None, None, :]
+            )
+            ohf = oh.astype(jnp.float32)
+
+            def compact(vals):
+                return jnp.einsum(
+                    "bj,bjc->bc", vals.astype(jnp.float32), ohf,
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32)
+
+            lo16 = compact(s & 0xFFFF)
+            hi16 = compact((s >> 16) & 0x7FFF)
+            cand = jnp.where(jnp.any(oh, axis=1), (hi16 << 16) | lo16, SENT)
+            total = jnp.max(pos, axis=1) + 1
+            n_cand = jnp.minimum(total, C)
+            overflow = jnp.max(jnp.maximum(total - C, 0))
+
+            m = (flat[:, :, None] == cand[:, None, :]) & (flat < SENT)[:, :, None]
+            cnt = jnp.sum(m.astype(jnp.int32), axis=1)
+            lin = jnp.arange(flat.shape[1], dtype=jnp.int32)[None, :, None]
+            first = jnp.min(jnp.where(m, lin, jnp.int32(0x7FFFFFFF)), axis=1)
+            valid_cnt = jnp.sum(pr["qvalid"].astype(jnp.int32), axis=1)
+            return cand, cnt, first, n_cand, valid_cnt, overflow
+
+        return jax.jit(step)
+
+    def _run_device(self, f, ofs, batch_size: int = 1024, max_genes: int = 256):
+        """Batched device gene pass: the per-position/per-gid Python loop is
+        replaced by the jitted candidate-count step; the host only rebuilds
+        each read's first-occurrence gene list (preserving the reference's
+        exact std::sort tie behavior) and formats."""
+        import jax
+        import numpy as np
+
+        from .read_label_device import pad_batch
+
+        if not hasattr(self, "_gstep"):
+            self._gstep = self._make_gene_step(max_genes)
         lines = [raw.rstrip("\n") for raw in f]
+        k = self.opts.k
         for lo in range(0, len(lines), batch_size):
             chunk = lines[lo : lo + batch_size]
-            seqs = []
-            for line in chunk:
-                _h, read, skip, _t, _s = _parse_out_line(line)
-                seqs.append("" if skip else read)
-            batch = pad_batch([s if s else "N" for s in seqs])
-            lookups = self._pipe.lookups_for_epilogue(batch)
-            for j, line in enumerate(chunk):
-                res = self.process_line(
-                    line, lookups=lookups[j] if seqs[j] else None
+            parsed = [_parse_out_line(line) for line in chunk]
+            seqs = ["" if p[2] else p[1] for p in parsed]
+            batch = pad_batch(
+                [s if s else "N" for s in seqs] + [""] * (batch_size - len(chunk))
+            )
+            cand, cnt, first, n_cand, valid_cnt, overflow = jax.device_get(
+                self._gstep(batch)
+            )
+            assert int(overflow) == 0, "raise max_genes"
+            for j, (hdr, read, skip, taxid, tscore) in enumerate(parsed):
+                if skip or len(read) < k:
+                    continue
+                n = int(n_cand[j])
+                if n == 0:
+                    continue
+                order = np.argsort(first[j, :n], kind="stable")
+                geneid_lst = [int(cand[j, o]) for o in order]
+                gene_track = {int(cand[j, o]): int(cnt[j, o]) for o in order}
+                res = self._finish_read(
+                    hdr, read, taxid, tscore, geneid_lst, gene_track,
+                    int(valid_cnt[j]),
                 )
                 if res is not None:
                     ofs.write(res + "\n")
