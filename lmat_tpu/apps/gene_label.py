@@ -235,9 +235,13 @@ class GeneLabeler:
 
         from .read_label_device import pad_batch
 
+        lines = [raw.rstrip("\n") for raw in f]
+        # small inputs (tests, tail files) compile a correspondingly small
+        # step shape instead of the full batch
+        while batch_size // 2 >= len(lines) and batch_size > 32:
+            batch_size //= 2
         if not hasattr(self, "_gstep"):
             self._gstep = self._make_gene_step(max_genes)
-        lines = [raw.rstrip("\n") for raw in f]
         k = self.opts.k
         for lo in range(0, len(lines), batch_size):
             chunk = lines[lo : lo + batch_size]
