@@ -1,0 +1,119 @@
+"""Multi-chip fast mode: DB-sharded probe + data-parallel scorer in one jit.
+
+The single-chip fast path (apps/read_label_fast.py) assumes the whole k-mer
+table fits one device's HBM.  Here the table is sharded by prefix bucket over
+the mesh's "db" axis (parallel/router.py) and reads are data-parallel over
+("data", "db"); each step:
+
+  [B, L] reads (sharded over the batch axis)
+    -> encode/canonical k-mers (auto-partitioned, batch-parallel)
+    -> all_to_all query routing + shard-local probe (shard_map)
+    -> device scorer (batch-parallel; taxonomy arrays replicated)
+
+This is the capability the reference lacks: its 460 GB DB must fit one
+node's RAM (SURVEY.md §2.3), while this spans the table across a pod slice.
+
+Outputs are identical to the single-chip FastClassifier step; the host
+formatting/tally machinery is reused unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..parallel.router import ShardedIndex, make_sharded_lookup
+from .read_label_fast import FastClassifier
+
+
+class ShardedFastClassifier(FastClassifier):
+    """FastClassifier whose probe routes through a mesh-sharded index.
+
+    mesh: jax.sharding.Mesh with ("data", "db") axes; the batch axis of every
+    step input must be divisible by mesh.size.
+    """
+
+    def __init__(self, mesh, sidx: ShardedIndex, scorer, k: int = 20,
+                 min_score: float = 0.0, batch: int = 512,
+                 read_len: int = 256, cap: int | None = None):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.k = k
+        self.scorer = scorer
+        self.min_score = min_score
+        self.mesh = mesh
+        self.batch = batch
+        n_dev = mesh.size
+        assert batch % n_dev == 0, "batch must divide the mesh size"
+
+        from .read_label_device import prepare_reads
+
+        P_pos = read_len - k + 1
+        q_per_dev = batch * P_pos // n_dev
+        lookup = make_sharded_lookup(mesh, sidx, q_per_device=q_per_dev,
+                                     cap=cap)
+        self._data_sharding = NamedSharding(mesh, P(("data", "db")))
+
+        def step(batch_arr):
+            prep = prepare_reads(batch_arr, k)
+            B, Pp = prep["hi"].shape
+            found, ng, tids, tmask, overflow = lookup(
+                prep["hi"].reshape(-1), prep["lo"].reshape(-1),
+                prep["qvalid"].reshape(-1),
+            )
+            pr = {
+                "found": found.reshape(B, Pp),
+                "ng": ng.reshape(B, Pp),
+                "tids": tids.reshape(B, Pp, -1),
+                "tmask": tmask.reshape(B, Pp, -1),
+                **prep,
+            }
+            out = scorer.score_batch(pr)
+            ints = jnp.stack(
+                [out["call_tid"], out["match"], out["n_cand"],
+                 out["cand_kmer_cnt"], out["cnt_fnd"], out["valid_kmers"],
+                 out["fnd_phix"].astype(jnp.int32)],
+                axis=1,
+            )
+            flts = jnp.stack(
+                [out["call_score"], out["log_avg"], out["stdev"],
+                 out["top_score"], out["phix_score"]],
+                axis=1,
+            )
+            # route-capacity overflow aborts like candidate overflow
+            ovf = jnp.maximum(out["overflow"], overflow)
+            return ints, flts, out["tid_sorted"], out["score_sorted"], ovf
+
+        jitted = jax.jit(step)
+        self._read_len = read_len
+
+        def run(batch_np):
+            arr = jax.device_put(batch_np, self._data_sharding)
+            return jitted(arr)
+
+        self.step = run
+        self.track_count = {}
+        self.track_score = {}
+        self.track_nomatch = {}
+
+    def pad(self, reads, pad_to=None, fixed_rows=None):
+        return super().pad(reads, pad_to=self._read_len,
+                           fixed_rows=fixed_rows or self.batch)
+
+
+def make_sharded_classifier(mesh, index, taxonomy, cfg, null_model=None,
+                            k: int = 20, min_score: float = 0.0,
+                            batch: int = 512, read_len: int = 256):
+    """Build (scorer, ShardedFastClassifier) from a host KmerIndex: the
+    index arena is remapped to node indices + flag bits, then sharded by
+    prefix bucket over the mesh's db axis."""
+    from .read_label_score_device import DeviceScorer
+
+    n_db = mesh.shape["db"]
+    scorer = DeviceScorer(taxonomy, cfg, null_model=null_model)
+    remapped = scorer.remap_index_tids(index)
+    sidx = ShardedIndex.from_index(remapped, n_db)
+    clf = ShardedFastClassifier(mesh, sidx, scorer, k=k, min_score=min_score,
+                                batch=batch, read_len=read_len)
+    return scorer, clf
