@@ -91,70 +91,67 @@ def _make_fast(tax, index, args, null):
 
 
 def _run_fast(clf, args, f, n_shards, shard_id) -> int:
-    """Stream reads through the device pipeline in fixed-shape batches
-    (constant [B, Lmax] so XLA compiles the step once)."""
-    B = getattr(args, "batch", 0) or 512
-    reads = []
-    maxlen = 1
-    for i, (hdr, seq) in enumerate(iter_reads_lmat(args.reads, fastq=args.fastq)):
-        if n_shards > 1 and i % n_shards != shard_id:
-            continue
-        if not hdr:
-            hdr = f"unknown_hdr:{i + 1}"
-        reads.append((hdr, seq))
-        maxlen = max(maxlen, len(seq))
+    """Stream reads through the device pipeline in fixed-row batches with
+    per-batch ladder pad lengths (bounded compiled shapes, bounded memory —
+    the input file is never loaded whole).  The Python FASTA parser streams
+    at ~1.5M reads/s, well above the device pipeline."""
     import jax
     from concurrent.futures import ThreadPoolExecutor
 
     from ..io.native_writer import native_available
 
-    batches = [reads[i : i + B] for i in range(0, len(reads), B)]
+    B = getattr(args, "batch", 0) or 512
 
     def ladder(n_bases: int) -> int:
-        """Pad length per batch from a doubling ladder: keeps input order
-        and bounds the number of compiled step shapes, without letting one
-        long read (contig) pad every batch to the global max."""
+        """Pad length from a doubling ladder: keeps input order and bounds
+        the number of compiled step shapes, without letting one long read
+        (contig) pad every batch to the global max."""
         L = 128
         while L < n_bases:
             L *= 2
         return L
 
-    pads = [ladder(max(len(s) for _, s in b)) for b in batches]
-    if native_available():
-        # C formatter writes the final byte stream (quirk rows included)
-        sink = getattr(f, "buffer", f)
-        n = 0
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            fetch = None
-            for item in list(zip(batches, pads)) + [None]:
-                nxt = None
-                if item is not None:
-                    b, pad_to = item
-                    dev_out = clf.step(clf.pad(b, pad_to=pad_to, fixed_rows=B))
-                    nxt = (b, pool.submit(jax.device_get, dev_out))
-                if fetch is not None:
-                    p_b, fut = fetch
-                    sink.write(clf.format_native(p_b, fut.result()))
-                    n += len(p_b)
-                fetch = nxt
-        return n
+    def gen_batches():
+        buf = []
+        for i, (hdr, seq) in enumerate(iter_reads_lmat(args.reads, fastq=args.fastq)):
+            if n_shards > 1 and i % n_shards != shard_id:
+                continue
+            if not hdr:
+                hdr = f"unknown_hdr:{i + 1}"
+            buf.append((hdr, seq))
+            if len(buf) == B:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
+
+    use_native = native_available()
+    sink = getattr(f, "buffer", f) if use_native else None
     n = 0
     # three overlapped stages (see FastClassifier.classify_stream): dispatch,
-    # threaded result fetch, host formatting; per-batch ladder [B, L] shapes
-    # (the tail batch is padded with empty reads, which are not passed to
-    # the formatter and so never reach the summaries)
+    # threaded result fetch, host formatting (the tail batch is padded with
+    # empty reads, which never reach the formatter or the summaries)
     with ThreadPoolExecutor(max_workers=1) as pool:
         fetch = None
-        for item in list(zip(batches, pads)) + [None]:
+        done = False
+        it = gen_batches()
+        while not done or fetch is not None:
             nxt = None
-            if item is not None:
-                b, pad_to = item
-                dev_out = clf.step(clf.pad(b, pad_to=pad_to, fixed_rows=B))
-                nxt = (b, pool.submit(jax.device_get, dev_out))
+            if not done:
+                b = next(it, None)
+                if b is None:
+                    done = True
+                else:
+                    pad_to = ladder(max(len(s) for _, s in b))
+                    dev_out = clf.step(clf.pad(b, pad_to=pad_to, fixed_rows=B))
+                    nxt = (b, pool.submit(jax.device_get, dev_out))
             if fetch is not None:
                 p_b, fut = fetch
-                lines = clf._format(p_b, fut.result())
-                f.write("".join(l if l.endswith("\t") else l + "\n" for l in lines))
+                if use_native:
+                    sink.write(clf.format_native(p_b, fut.result()))
+                else:
+                    lines = clf._format(p_b, fut.result())
+                    f.write("".join(l if l.endswith("\t") else l + "\n" for l in lines))
                 n += len(p_b)
             fetch = nxt
     return n
