@@ -71,3 +71,57 @@ def test_save_load(tmp_path):
     for q in kmers[:20]:
         a, b = idx.lookup_host(int(q)), idx2.lookup_host(int(q))
         assert a[0] == b[0] and np.array_equal(a[1], b[1])
+
+
+def _check_device_vs_host(idx, kmers, rng, k, dense):
+    from lmat_tpu.core.encoding import split64 as _split
+
+    dev = idx.to_device(dense_lists=dense)
+    queries = np.concatenate(
+        [kmers, rng.integers(0, 1 << (2 * k), size=200).astype(np.uint64)]
+    )
+    hi, lo = _split(queries)
+    found, ng, tids, tmask = dev.lookup(
+        np.asarray(hi).reshape(1, -1), np.asarray(lo).reshape(1, -1),
+        np.ones((1, len(queries)), bool),
+    )
+    found = np.asarray(found)[0]
+    ng = np.asarray(ng)[0]
+    tids = np.asarray(tids)[0]
+    tmask = np.asarray(tmask)[0]
+    for j, q in enumerate(queries):
+        host = idx.lookup_host(int(q))
+        if host is None:
+            assert not found[j], hex(int(q))
+        else:
+            hng, htids = host
+            assert found[j]
+            assert ng[j] == hng
+            assert np.array_equal(tids[j][tmask[j]], htids)
+
+
+def test_device_lookup_windowed_arena():
+    """The big-DB (non-dense) arena path: rows assembled from two aligned
+    window gathers."""
+    rng = np.random.default_rng(5)
+    k = 12
+    kmers, lists = random_db(rng, 400, k, 8)
+    idx = KmerIndex.build(kmers, lists, k, max_tids=8)
+    _check_device_vs_host(idx, kmers, rng, k, dense=False)
+
+
+def test_device_lookup_deep_buckets():
+    """Buckets larger than the suffix window force binary-search steps whose
+    element reads map into the overlapping-row layout."""
+    rng = np.random.default_rng(6)
+    k = 12
+    # cram ~1500 k-mers into ONE prefix bucket (same high bits)
+    prefix = np.uint64(3 << (2 * k - 4 - 20 + 20)) if False else np.uint64(0)
+    lows = rng.choice(np.arange(0, 1 << 16, dtype=np.uint64), size=1500, replace=False)
+    kmers = (np.uint64(0xA) << np.uint64(20)) | lows  # bucket 0xA, 1500 suffixes
+    lists = [np.sort(rng.choice(10000, size=rng.integers(1, 9), replace=False)).astype(np.uint32)
+             for _ in range(len(kmers))]
+    idx = KmerIndex.build(kmers, lists, k, max_tids=8)
+    assert idx.search_depth > 5  # must exercise the bsearch prefix steps
+    for dense in (True, False):
+        _check_device_vs_host(idx, kmers, rng, k, dense=dense)
