@@ -308,6 +308,7 @@ def probe_packed(bucket_tab, suffix_over, rec, arena, arena_mode, search_depth,
     bt = jnp.take(bucket_tab, b, axis=0, mode="clip")  # [..., 2]
     left = bt[..., 0]
     n = bt[..., 1]
+    end = left + n  # bucket end: matches never live at/past it
 
     # branchless lower-bound steps until the range fits one window; element
     # positions map into the overlapping-row layout as (p>>lgw)*2W + p%W
@@ -324,14 +325,17 @@ def probe_packed(bucket_tab, suffix_over, rec, arena, arena_mode, search_depth,
             left = jnp.where(go_right, mid + 1, left)
             n = jnp.where(go_right, n - half - 1, half)
 
-    # remaining range [left, left+n), n <= W: one overlapping row covers it
+    # lower-bound invariant: the answer lies in [left, left+n] INCLUSIVE
+    # (n <= W after the steps above), clamped to the bucket; one overlapping
+    # row covers [32r, 32r+63] ⊇ [left, left+W]
     r = left >> lgw
     win = jnp.take(suffix_over, r, axis=0, mode="clip")  # [..., 2W]
     j = jnp.arange(2 * W, dtype=jnp.int32)
     pos_j = (r << lgw)[..., None] + j
     hit = (
         (pos_j >= left[..., None])
-        & (pos_j < (left + n)[..., None])
+        & (pos_j <= (left + n)[..., None])
+        & (pos_j < end[..., None])
         & (win == lo_u[..., None])
     )
     found = valid & jnp.any(hit, axis=-1)
