@@ -87,3 +87,43 @@ def test_end_to_end_bit_identical_via_device_probe(env):
         hdr, seq = reads[i]
         line = clf.classify(hdr, seq, lookups=lookups[i] if len(seq) >= 20 else None)
         assert line == golden[i], f"read {i}:\nmine: {line}\nref:  {golden[i]}"
+
+
+def test_k18_pipeline_host_device_agree():
+    """18-mer geometry (the reference's production marker-DB k): prefix is
+    16 bits, suffix 20; the device pipeline must match host lookups."""
+    import numpy as np
+
+    from lmat_tpu.apps.read_label_device import DevicePipeline, pad_batch
+    from lmat_tpu.core.encoding import ReadKmers
+    from lmat_tpu.core.index import KmerIndex
+
+    rng = np.random.default_rng(11)
+    k = 18
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    genome = bytes(rng.choice(bases, size=3000)).decode()
+    # build an index over the genome's canonical k-mers
+    seen = {}
+    rk = ReadKmers(genome.encode(), k)
+    for p in np.nonzero(rk.valid & ~rk.is_dup)[0]:
+        seen.setdefault(int(rk.kmers[p]), set()).add(7 + int(p) % 5)
+    kmers = np.array(sorted(seen), np.uint64)
+    lists = [np.array(sorted(seen[int(m)]), np.uint32) for m in kmers]
+    idx = KmerIndex.build(kmers, lists, k, max_tids=8)
+
+    reads = [genome[i : i + 120] for i in range(0, 1200, 120)]
+    reads += ["".join(rng.choice(list("ACGT")) for _ in range(100)) for _ in range(4)]
+    pipe = DevicePipeline(idx.to_device(), k=k)
+    lookups = pipe.lookups_for_epilogue(pad_batch(reads))
+    for ri, read in enumerate(reads):
+        rk = ReadKmers(read.encode(), k)
+        for p in range(len(read) - k + 1):
+            if not rk.valid[p] or rk.is_dup[p]:
+                continue
+            host = idx.lookup_host(int(rk.kmers[p]))
+            found, ng, tids = lookups[ri][p]
+            if host is None:
+                assert not found
+            else:
+                assert found and ng == host[0]
+                assert np.array_equal(np.asarray(tids), host[1])
