@@ -41,4 +41,26 @@ eval "LD_PRELOAD=$ORACLE/efence.so $ORACLE/bin/read_label -e $FIX/depth.dat \
   -j 30 -l 0 -b 1.0 -u $FIX/taxids.info -w $FIX/ranks.dat -o $WORK/rl_edgefq" \
     > "$WORK"/rl_edgefq.log 2>&1
 
+# 18-mer geometry golden: the reference needs an IDX_CONFIG=1827 build
+# (9-bit suffix blocks) for 18-mer SortedDb lookups; output files are
+# geometry-independent so they compare against our SUF_BITS=20 layout.
+O18=/tmp/lmat_oracle18
+if [ ! -x "$O18/bin/read_label" ]; then
+    sed 's/-DIDX_CONFIG=2027/-DIDX_CONFIG=1827/' "$HERE"/build_oracle.sh \
+        > "$HERE"/_build18.sh
+    bash "$HERE"/_build18.sh "$O18"
+    rm -f "$HERE"/_build18.sh
+fi
+"$O18"/bin/kmerPrefixCounter -k 18 -l 0 -f 0 -i "$FIX"/genomes.fa \
+    -o "$WORK"/k18mers > "$WORK"/k18.log 2>&1
+"$O18"/bin/tax_histo -f 32 -t "$FIX"/taxtree.dat -d "$WORK"/k18mers.0 \
+    -o "$WORK"/taxhisto18.bin >> "$WORK"/k18.log 2>&1
+"$O18"/bin/make_db_table -k 18 -i "$WORK"/taxhisto18.bin -o "$WORK"/fixture18.db \
+    -s 4 >> "$WORK"/k18.log 2>&1
+"$O18"/bin/read_label -e "$FIX"/depth.dat -c "$FIX"/taxtree.dat \
+    -d "$WORK"/fixture18.db -i "$FIX"/reads.fa -t 1 -p -x 0 -j 30 -l 0 -b 1.0 \
+    -u "$FIX"/taxids.info -w "$FIX"/ranks.dat -k 18 -o "$WORK"/rl_k18 \
+    > "$WORK"/rl_k18.log 2>&1
+rm -f "$WORK"/k18mers.0 "$WORK"/fixture18.db
+
 echo "regen complete"
