@@ -118,7 +118,7 @@ def cmd_gene_label(args):
             min_tax_score=args.min_tax_score, k=args.k,
         ),
     )
-    gl.run_files(args.inputs, args.output)
+    gl.run_files(args.inputs, args.output, device=args.mode == "fast")
     gl.write_summaries(args.gene_table, args.output)
     print(f"gene summaries at {args.output}*")
 
@@ -278,6 +278,8 @@ def main(argv=None):
     p.add_argument("-g", "--gene-table", required=True)
     p.add_argument("-o", "--output", required=True)
     p.add_argument("-x", "--min-score", type=float, default=0.1)
+    p.add_argument("--mode", choices=("exact", "fast"), default="fast",
+                   help="fast = batched device gene-candidate step")
     p.add_argument("-q", "--min-kmer", type=int, default=20)
     p.add_argument("-b", "--min-tax-score", type=float, default=0.0)
     p.add_argument("-k", type=int, default=20)
