@@ -278,7 +278,7 @@ def main(argv=None):
     p.add_argument("-g", "--gene-table", required=True)
     p.add_argument("-o", "--output", required=True)
     p.add_argument("-x", "--min-score", type=float, default=0.1)
-    p.add_argument("--mode", choices=("exact", "fast"), default="fast",
+    p.add_argument("--mode", choices=("exact", "fast"), default="exact",
                    help="fast = batched device gene-candidate step")
     p.add_argument("-q", "--min-kmer", type=int, default=20)
     p.add_argument("-b", "--min-tax-score", type=float, default=0.0)
@@ -302,8 +302,8 @@ def main(argv=None):
     p.add_argument("-i", "--read-len", type=int, required=True)
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--mode", choices=("exact", "fast"), default="fast",
-                   help="fast = batched device presence pipeline")
+    p.add_argument("--mode", choices=("exact", "fast"), default="exact",
+                   help="fast = batched device presence pipeline (recommended on TPU)")
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--max-candidates", type=int, default=128)
     p.add_argument("--tax-tree"), p.add_argument("--depth")
