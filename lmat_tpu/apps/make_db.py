@@ -66,13 +66,13 @@ def build_sharded(fasta_path: str, taxonomy, k: int, n_shards_log4: int,
 
     def one(p):
         path = os.path.join(out_dir, f"shard.{p}.tax_histo")
-        table = extract_kmers(fasta_path, k, prefix_bits=bits, prefix=p)
+        K, T = extract_kmer_pairs(fasta_path, k, prefix_bits=bits, prefix=p)
 
         def records():
-            for km in sorted(table):
-                closure = lca_closure(taxonomy, table[km])
-                if closure:
-                    yield km, closure
+            for uk, closures in lca_closure_batch(taxonomy, K, T):
+                for km, cl in zip(uk, closures):
+                    if cl.shape[0]:
+                        yield int(km), cl
 
         formats.write_tax_histo(path, records(), k)
         return path
@@ -143,22 +143,193 @@ def prune_list(tids, cutoff: int, priority_map=None):
     return out
 
 
+def extract_kmer_pairs(fasta_path: str, k: int, prefix_bits: int = 0,
+                       prefix: int = 0):
+    """Vectorized extract_kmers: returns parallel (kmer u64, tid u32) pair
+    arrays (per-sequence deduplicated, like the reference's per-genome
+    hash insert)."""
+    kcols, tcols = [], []
+    shift = np.uint64(2 * k - prefix_bits) if prefix_bits else None
+    for hdr, seq in iter_reads(fasta_path):
+        tid = int(hdr.split()[0].split("|")[0]) if hdr else 0
+        kmers = genome_canonical_kmers(seq.encode(), k)
+        if prefix_bits:
+            kmers = kmers[(kmers >> shift) == np.uint64(prefix)]
+        u = np.unique(kmers)
+        kcols.append(u)
+        tcols.append(np.full(u.shape[0], tid, np.uint32))
+    if not kcols:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
+    return np.concatenate(kcols), np.concatenate(tcols)
+
+
+def lca_closure_batch(taxonomy, K, T, chunk_pairs: int = 4_000_000,
+                      flat: bool = False):
+    """Vectorized lca_closure over (kmer, tid) pair arrays.
+
+    Yields (kmers u64 [G], node_lists: list of uint32 taxid arrays) per
+    chunk, kmers ascending, each list ascending — identical sets to
+    lca_closure() per k-mer, computed with numpy segment ops instead of
+    per-k-mer Python (the reference's getLcaMap loop, tax_histo.cpp:217-239).
+    """
+    tids_sorted, index, parent_idx, _d, path_mat = taxonomy.dense()
+    n = len(tids_sorted)
+    assert n < (1 << 25), "node-id packing assumes < 2^25 taxonomy nodes"
+    tree_depth = (path_mat >= 0).sum(axis=1).astype(np.int32)
+    # Euler intervals (anc_or_self(a,d): in[a] <= in[d] and out[d] <= out[a])
+    children: dict[int, list] = {}
+    root = 0
+    for i in range(n):
+        p = int(parent_idx[i])
+        if p == i:
+            root = i
+        else:
+            children.setdefault(p, []).append(i)
+    euler_in = np.zeros(n, np.int32)
+    euler_out = np.zeros(n, np.int32)
+    clock = 0
+    stack = [(root, False)]
+    while stack:
+        node, done = stack.pop()
+        if done:
+            euler_out[node] = clock
+            continue
+        euler_in[node] = clock
+        clock += 1
+        stack.append((node, True))
+        for ch in reversed(children.get(node, [])):
+            stack.append((ch, False))
+
+    def anc_or_self(a, d):
+        return (euler_in[a] <= euler_in[d]) & (euler_out[d] <= euler_out[a])
+
+    # map tids -> node idx, dropping unknown tids (lca_closure's `good`)
+    pos = np.searchsorted(tids_sorted, T.astype(np.int64))
+    pos = np.clip(pos, 0, n - 1)
+    ok = tids_sorted[pos] == T
+    K = np.asarray(K, np.uint64)[ok]
+    tidx = pos[ok].astype(np.int32)
+    # sort + dedupe (kmer, tid) pairs
+    order = np.lexsort((tidx, K))
+    K, tidx = K[order], tidx[order]
+    keep = np.ones(K.shape[0], bool)
+    keep[1:] = (K[1:] != K[:-1]) | (tidx[1:] != tidx[:-1])
+    K, tidx = K[keep], tidx[keep]
+
+    D = path_mat.shape[1]
+    total = K.shape[0]
+    lo = 0
+    while lo < total:
+        hi = min(lo + chunk_pairs, total)
+        # extend to the group (kmer) boundary
+        while hi < total and K[hi] == K[hi - 1]:
+            hi += 1
+        Kc, tc = K[lo:hi], tidx[lo:hi]
+        lo = hi
+        uk, start = np.unique(Kc, return_index=True)
+        G = uk.shape[0]
+        gid = np.searchsorted(start, np.arange(Kc.shape[0]), side="right") - 1
+
+        # tree LCA of each group = LCA(min-euler node, max-euler node)
+        key = euler_in[tc].astype(np.int64) << 25 | tc
+        a = (np.minimum.reduceat(key, start) & 0x1FFFFFF).astype(np.int32)
+        b = (np.maximum.reduceat(key, start) & 0x1FFFFFF).astype(np.int32)
+        cands = np.concatenate([a[:, None], path_mat[a]], axis=1)  # [G, D+1]
+        cval = cands >= 0
+        csafe = np.where(cval, cands, 0)
+        okc = cval & anc_or_self(csafe, b[:, None])
+        cd = np.where(okc, tree_depth[csafe], -1)
+        lca_tree = csafe[np.arange(G), np.argmax(cd, axis=1)]
+
+        # walk stop point: shallowest group tid that is anc-or-self of the
+        # tree LCA, else the tree LCA itself (lca_closure's root walk)
+        on_chain = anc_or_self(tc, lca_tree[gid])
+        BIG = np.int32(1 << 30)
+        dmin = np.minimum.reduceat(
+            np.where(on_chain, tree_depth[tc], BIG), start
+        )
+        lca_depth = np.where(dmin < BIG, dmin, tree_depth[lca_tree])
+
+        # closure entries: each pair contributes its path nodes at depth >=
+        # the group's stop depth (plus itself)
+        ent = np.concatenate([tc[:, None], path_mat[tc]], axis=1)  # [P, D+1]
+        evalid = ent >= 0
+        esafe = np.where(evalid, ent, 0)
+        keepe = evalid & (tree_depth[esafe] >= lca_depth[gid][:, None])
+        packed = (gid.astype(np.int64)[:, None] << 25 | esafe)[keepe]
+        u = np.unique(packed)
+        g_u = (u >> 25).astype(np.int64)
+        n_u = (u & 0x1FFFFFF).astype(np.int64)
+        bounds = np.searchsorted(g_u, np.arange(G + 1))
+        node_tids = tids_sorted[n_u].astype(np.uint32)
+        if flat:
+            yield uk, node_tids, bounds
+        else:
+            lists = [node_tids[bounds[g] : bounds[g + 1]] for g in range(G)]
+            yield uk, lists
+
+
 def build_native(fasta_path: str, taxonomy, k: int, max_tids: int = 16,
                  tid_cutoff: int = 0, priority_map=None) -> KmerIndex:
-    """Full native build: genomes -> LCA-collapsed sorted-order index."""
-    table = extract_kmers(fasta_path, k)
-    kmers = []
-    lists = []
-    for km in sorted(table):
-        closure = lca_closure(taxonomy, table[km])
-        if not closure:
-            continue
-        closure = prune_list(closure, tid_cutoff, priority_map)
-        if len(closure) > max_tids:
-            closure = prune_list(closure, max_tids, priority_map)
-        kmers.append(km)
-        lists.append(np.asarray(closure, np.uint32))
-    return KmerIndex.build(np.asarray(kmers, np.uint64), lists, k, max_tids=max_tids)
+    """Full native build: genomes -> LCA-collapsed sorted-order index.
+    Fully vectorized: pair extraction, batched closure, flat assembly; only
+    k-mers needing rank-priority pruning drop to per-k-mer Python."""
+    K, T = extract_kmer_pairs(fasta_path, k)
+    kchunks, fchunks, cchunks = [], [], []
+    cut = tid_cutoff if tid_cutoff > 0 else max_tids
+    for uk, node_tids, bounds in lca_closure_batch(taxonomy, K, T, flat=True):
+        counts = np.diff(bounds)
+        long = counts > cut
+        if priority_map is not None and long.any():
+            # rare path: exact heap-order pruning per long k-mer
+            pruned = []
+            for g in np.nonzero(long)[0]:
+                cl = node_tids[bounds[g] : bounds[g + 1]].tolist()
+                cl = prune_list(cl, tid_cutoff, priority_map)
+                if len(cl) > max_tids:
+                    cl = prune_list(cl, max_tids, priority_map)
+                pruned.append(np.asarray(cl, np.uint32))
+            new_counts = counts.copy()
+            new_counts[long] = [len(x) for x in pruned]
+            gi = np.repeat(np.arange(len(counts)), counts)
+            flat_parts = [node_tids[~long[gi]]]
+            # interleave: rebuild in group order
+            out = np.empty(int(new_counts.sum()), np.uint32)
+            ns = np.zeros(len(counts) + 1, np.int64)
+            ns[1:] = np.cumsum(new_counts)
+            it = iter(pruned)
+            for g in range(len(counts)):
+                if long[g]:
+                    out[ns[g] : ns[g + 1]] = next(it)
+                else:
+                    out[ns[g] : ns[g + 1]] = node_tids[bounds[g] : bounds[g + 1]]
+            node_tids, counts = out, new_counts
+        elif long.any():
+            # no priority map: over-long lists collapse to the root taxid
+            # (make_db_table semantics with no -m map)
+            G = len(counts)
+            gi = np.repeat(np.arange(G), counts)
+            ent_off = np.arange(gi.shape[0]) - np.repeat(bounds[:-1], counts)
+            new_counts = np.where(long, 1, counts).astype(np.int64)
+            ns = np.zeros(G + 1, np.int64)
+            ns[1:] = np.cumsum(new_counts)
+            out = np.empty(int(ns[-1]), np.uint32)
+            out[ns[:-1][long]] = 1
+            keep_entries = ~long[gi]
+            out[(ns[gi] + ent_off)[keep_entries]] = node_tids[keep_entries]
+            node_tids, counts = out, new_counts
+        nonempty = counts > 0
+        kchunks.append(np.asarray(uk, np.uint64)[nonempty])
+        if not nonempty.all():
+            gi = np.repeat(nonempty, counts)
+            node_tids = node_tids[gi]
+            counts = counts[nonempty]
+        fchunks.append(node_tids)
+        cchunks.append(counts)
+    kmers = np.concatenate(kchunks) if kchunks else np.zeros(0, np.uint64)
+    tid_flat = np.concatenate(fchunks) if fchunks else np.zeros(0, np.uint32)
+    counts = np.concatenate(cchunks) if cchunks else np.zeros(0, np.int64)
+    return KmerIndex.build_flat(kmers, tid_flat, counts, k, max_tids=max_tids)
 
 
 def build_from_tax_histo(paths, k: int, max_tids: int = 16,

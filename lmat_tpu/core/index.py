@@ -97,6 +97,46 @@ class KmerIndex:
             search_depth=depth,
         )
 
+    @classmethod
+    def build_flat(cls, kmers: np.ndarray, tid_flat: np.ndarray, counts,
+                   k: int, max_tids: int = 16) -> "KmerIndex":
+        """Build from flat arrays: kmers ASCENDING u64 [N], concatenated
+        taxid lists u32, per-k-mer counts — the fully vectorized path (no
+        per-k-mer Python objects)."""
+        kmers = np.asarray(kmers, np.uint64)
+        counts = np.asarray(counts, np.int64)
+        assert kmers.ndim == 1 and counts.shape == kmers.shape
+        if kmers.size > 1:
+            assert (kmers[1:] > kmers[:-1]).all(), "kmers must be ascending/unique"
+        amax = int(counts.max()) if counts.size else 0
+        if amax > max_tids:
+            raise ValueError(
+                f"a k-mer stores {amax} taxids > max_tids={max_tids}; prune at DB build"
+            )
+        n_buckets = 1 << (2 * k - SUF_BITS)
+        bucket = (kmers >> np.uint64(SUF_BITS)).astype(np.int64)
+        bucket_start = np.zeros(n_buckets + 1, np.int64)
+        np.add.at(bucket_start, bucket + 1, 1)
+        bucket_start = np.cumsum(bucket_start)
+        suffix = (kmers & np.uint64(SUF_MASK)).astype(np.uint32)
+        tid_start = np.zeros(kmers.size + 1, np.int64)
+        tid_start[1:] = np.cumsum(counts)
+        max_bucket = int(np.max(np.diff(bucket_start))) if kmers.size else 0
+        depth = max(1, int(np.ceil(np.log2(max_bucket + 1)))) if max_bucket else 1
+        dtype = np.int32 if tid_start[-1] < 2**31 else np.int64
+        return cls(
+            k=k,
+            bucket_start=bucket_start.astype(
+                np.int32 if kmers.size < 2**31 else np.int64
+            ),
+            suffix=suffix,
+            tid_start=tid_start.astype(dtype),
+            tid_flat=np.asarray(tid_flat, np.uint32),
+            ng=np.minimum(counts, 0xFFFF).astype(np.uint16),
+            max_tids=max_tids,
+            search_depth=depth,
+        )
+
     # ---------------- host lookup (oracle/testing) --------------------------
 
     def lookup_host(self, kmer: int):

@@ -41,3 +41,39 @@ def test_native_build_matches_oracle_sets():
         got = mine.lookup_host(km)
         assert got is not None
         assert frozenset(int(t) for t in got[1]) == oracle[km], hex(km)
+
+
+def test_lca_closure_batch_matches_scalar():
+    """The vectorized closure must match the per-k-mer reference logic on
+    random tid sets over the fixture taxonomy."""
+    import numpy as np
+
+    from lmat_tpu.apps.make_db import lca_closure, lca_closure_batch
+    from lmat_tpu.core.taxonomy import Taxonomy
+
+    FIX = os.path.join(os.path.dirname(__file__), "fixtures", "golden_small")
+    tax = Taxonomy.from_lmat_file(FIX + "/taxtree.dat")
+    all_tids = sorted(tax.parent)
+    rng = np.random.default_rng(17)
+    K, T = [], []
+    expected = {}
+    for km in range(300):
+        size = int(rng.integers(1, 7))
+        tids = list(rng.choice(all_tids, size=size, replace=False))
+        if km % 7 == 0:
+            tids.append(999999999)  # unknown tid: dropped like the reference
+        expected[km] = lca_closure(tax, set(tids))
+        for t in tids:
+            K.append(km)
+            T.append(t)
+    K = np.asarray(K, np.uint64)
+    T = np.asarray(T, np.uint32)
+    got = {}
+    for uk, closures in lca_closure_batch(tax, K, T, chunk_pairs=97):
+        for km, cl in zip(uk, closures):
+            got[int(km)] = cl.tolist()
+    for km, exp in expected.items():
+        if not exp:
+            assert km not in got or got[km] == []
+        else:
+            assert got[km] == exp, f"kmer {km}: {got.get(km)} != {exp}"
