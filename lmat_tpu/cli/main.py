@@ -159,6 +159,52 @@ def cmd_rand_read_label(args):
     print(f"null observations at {args.output}.rand_lst")
 
 
+def cmd_gen_null_model(args):
+    """Null-model pipeline (bin/gen_rand_mod.sh): loop read lengths, score
+    random GC-binned reads, roll up sparse taxids (merge_cnts), emit the
+    null_lst.txt index."""
+    import gzip as _gzip
+    import shutil
+
+    from ..apps.frequency_counter import count_tax_histo
+    from ..apps.null_model_gen import merge_cnts, write_null_lst
+    from ..apps.rand_read_label import RandReadLabeler
+    from ..core.index import KmerIndex
+
+    tax, files = _load_runtime(args)
+    idx = KmerIndex.load(args.db)
+    if args.read_len:
+        beg = end = args.read_len
+        step = 100
+    else:
+        beg, end, step = (int(x) for x in args.read_range.split(":"))
+    os.makedirs(args.odir, exist_ok=True)
+    dbname = os.path.basename(args.db.rstrip("/"))
+    kcnt = count_tax_histo(args.tax_histo_cnt) if args.tax_histo_cnt else None
+    entries = []
+    rl = beg
+    while rl <= end:
+        num_reads = max(1, args.num_bases // rl)
+        rrl = RandReadLabeler(tax, idx, device=args.mode == "fast",
+                              batch=args.batch,
+                              max_candidates=args.max_candidates)
+        rrl.run(num_reads=num_reads, read_len=rl, seed=args.seed)
+        oname = f"{dbname}.{rl}.{args.num_bases}.rl_output"
+        raw = os.path.join(args.odir, oname + ".rand_lst")
+        rrl.write_rand_lst(raw)
+        merged = os.path.join(args.odir, f"null.bin.{args.bins}.{oname}.rand_lst")
+        merge_cnts(raw, tax, files["rank"], args.min_sample_size, kcnt,
+                   merged, args.bins)
+        with open(merged, "rb") as fin, _gzip.open(merged + ".gz", "wb") as fout:
+            shutil.copyfileobj(fin, fout)
+        os.remove(merged)
+        entries.append((rl, os.path.basename(merged) + ".gz"))
+        print(f"read_len {rl}: {num_reads} reads -> {merged}.gz")
+        rl += step
+    lst = write_null_lst(args.odir, entries, k=idx.k)
+    print(f"null model index at {lst}")
+
+
 def cmd_get_db(args):
     from ..apps import get_db
 
@@ -309,6 +355,24 @@ def main(argv=None):
     p.add_argument("--tax-tree"), p.add_argument("--depth")
     p.add_argument("--rank-file"), p.add_argument("--rank-ids")
     p.set_defaults(fn=cmd_rand_read_label)
+
+    p = sub.add_parser("gen-null-model", help="null-model pipeline (gen_rand_mod.sh)")
+    p.add_argument("-d", "--db", required=True)
+    p.add_argument("--read-len", type=int, default=0)
+    p.add_argument("--read-range", default="", help="beg:end:step")
+    p.add_argument("--num-bases", type=int, default=10_000_000_000)
+    p.add_argument("--min-sample-size", type=int, default=100)
+    p.add_argument("--bins", type=int, default=10)
+    p.add_argument("--tax-histo-cnt", default=None,
+                   help="tax_histo binary for per-taxid k-mer counts")
+    p.add_argument("-o", "--odir", default=".")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mode", choices=("exact", "fast"), default="exact")
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--max-candidates", type=int, default=128)
+    p.add_argument("--tax-tree"), p.add_argument("--depth")
+    p.add_argument("--rank-file"), p.add_argument("--rank-ids")
+    p.set_defaults(fn=cmd_gen_null_model)
 
     p = sub.add_parser("get-db", help="download databases/runtime inputs (get_db.sh)")
     p.add_argument("--list", action="store_true")
