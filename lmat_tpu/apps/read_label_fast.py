@@ -39,9 +39,13 @@ class FastClassifier:
 
         import jax.numpy as jnp
 
-        def step(batch):
+        def step(batch, gc_bins):
             prep = prepare_reads(batch, k)
             pr = probe(dev_index, prep)
+            # GC bins come from the host: TPU f32 division is not IEEE
+            # correctly-rounded and can flip the bin truncation at exact
+            # boundaries (see core.encoding.host_gc_bins)
+            pr["bin_sel"] = gc_bins
             out = scorer.score_batch(pr)
             # pack outputs to minimize host transfer bytes (the fetch round
             # trip is the critical path over remote host<->device links):
@@ -60,7 +64,14 @@ class FastClassifier:
             )
             return ints, flts, out["tid_sorted"], out["score_sorted"], out["overflow"]
 
-        self.step = jax.jit(step)
+        from ..core.encoding import host_gc_bins
+
+        jit_step = jax.jit(step)
+
+        def run(batch_np):
+            return jit_step(batch_np, host_gc_bins(np.asarray(batch_np), k))
+
+        self.step = run
         self.track_count: dict[int, int] = {}
         self.track_score: dict[int, F] = {}
         self.track_nomatch: dict[int, int] = {}

@@ -14,8 +14,14 @@ Known, documented divergences from the bit-exact host path (exact mode):
   * float accumulation order is candidate-index order (taxonomy order), not
     the reference's insertion order — scores can differ in final ulps;
   * the TCmp 1e-3 epsilon tie grouping is approximated by exact
-    (score, depth) lexicographic sorting;
+    (score, depth, ascending-taxid) lexicographic sorting; candidates whose
+    scores are exactly equal print in ascending-taxid order instead of the
+    reference's per-read insertion order (platform-deterministic: the sort
+    carries an explicit slot tiebreaker because TPU sorts are not stable);
   * null-model rank-cutoff propagation uses an order-free prefix max.
+GC bins for the null-model lookup are computed on the HOST
+(core.encoding.host_gc_bins): TPU f32 division is not IEEE
+correctly-rounded and flips truncation at exact bin boundaries.
 tests/test_device_scorer.py checks call-level agreement with exact mode.
 """
 
@@ -430,10 +436,18 @@ class DeviceScorer:
             human_c & has_human[:, None], score + F32(cfg.diff_thresh2) * stdev[:, None], score
         )
 
-        # --- sort candidates by (score asc, depth asc) --------------------
-        # padding sorts FIRST so descending processing starts at the top score
+        # --- sort candidates by (score asc, depth asc, slot asc) ----------
+        # padding sorts FIRST so descending processing starts at the top
+        # score; the explicit slot key keeps tie order deterministic across
+        # platforms (TPU sorts are not stable)
         sort_key = jnp.where(cmask, score, F32(-3.0e38))
-        order = jnp.lexsort((depth_c, sort_key), axis=1)  # [B,C] ascending
+        # descending slot within ties: the print loop walks the order in
+        # reverse, so ties come out in ascending slot (= ascending taxid)
+        # order like the host path
+        slot = jnp.broadcast_to(
+            jnp.arange(C - 1, -1, -1, dtype=jnp.int32)[None, :], score.shape
+        )
+        order = jnp.lexsort((slot, depth_c, sort_key), axis=1)  # [B,C] ascending
 
         diff = stdev * F32(cfg.diff_thresh)
         res = self._find_read_label(cand, score, depth_c, cmask, n_cand, order,

@@ -55,7 +55,7 @@ class ShardedFastClassifier(FastClassifier):
                                      cap=cap)
         self._data_sharding = NamedSharding(mesh, P(("data", "db")))
 
-        def step(batch_arr):
+        def step(batch_arr, gc_bins):
             prep = prepare_reads(batch_arr, k)
             B, Pp = prep["hi"].shape
             found, ng, tids, tmask, overflow = lookup(
@@ -69,6 +69,8 @@ class ShardedFastClassifier(FastClassifier):
                 "tmask": tmask.reshape(B, Pp, -1),
                 **prep,
             }
+            # host-computed GC bins (IEEE f32 division; see host_gc_bins)
+            pr["bin_sel"] = gc_bins
             out = scorer.score_batch(pr)
             ints = jnp.stack(
                 [out["call_tid"], out["match"], out["n_cand"],
@@ -88,9 +90,14 @@ class ShardedFastClassifier(FastClassifier):
         jitted = jax.jit(step)
         self._read_len = read_len
 
+        from ..core.encoding import host_gc_bins
+
         def run(batch_np):
             arr = jax.device_put(batch_np, self._data_sharding)
-            return jitted(arr)
+            bins = jax.device_put(
+                host_gc_bins(np.asarray(batch_np), k), self._data_sharding
+            )
+            return jitted(arr, bins)
 
         self.step = run
         self.track_count = {}

@@ -75,7 +75,9 @@ def run(args) -> Classifier:
 
 
 def _make_fast(tax, index, args, null):
-    """Device (TPU) classifier — the batched jitted pipeline."""
+    """Device (TPU) classifier — the batched jitted pipeline.  With --mesh
+    "data,db" the k-mer table is sharded over the db axis and queries route
+    via all_to_all (multi-chip mode)."""
     from .read_label_fast import FastClassifier
     from .read_label_score_device import DeviceScorer, DeviceScorerConfig
 
@@ -85,6 +87,26 @@ def _make_fast(tax, index, args, null):
         diff_thresh=args.sdiff,
         diff_thresh2=args.hbias,
     )
+    mesh_spec = getattr(args, "mesh", None)
+    if mesh_spec:
+        from ..parallel.mesh import make_mesh
+        from .read_label_sharded import make_sharded_classifier
+
+        data, db = (int(x) for x in mesh_spec.split(","))
+        mesh = make_mesh(data=data, db=db)
+        # fixed [B, L] step shape: size L to the longest read in the input
+        maxlen = 1
+        for _, seq in iter_reads_lmat(args.reads, fastq=args.fastq):
+            maxlen = max(maxlen, len(seq))
+        read_len = 128
+        while read_len < maxlen:
+            read_len *= 2
+        _, clf = make_sharded_classifier(
+            mesh, index, tax, cfg, null_model=null, k=index.k,
+            min_score=args.min_score, batch=getattr(args, "batch", 0) or 512,
+            read_len=read_len,
+        )
+        return clf
     scorer = DeviceScorer(tax, cfg, null_model=null)
     dev = scorer.remap_index_tids(index).to_device()
     return FastClassifier(dev, scorer, k=index.k, min_score=args.min_score)
@@ -174,6 +196,7 @@ def main(argv=None):
     ap.add_argument("-l", "--hbias", type=float, default=0.0)
     ap.add_argument("-q", "--fastq", action="store_true")
     ap.add_argument("--mode", choices=("exact", "fast"), default="exact")
+    ap.add_argument("--mesh", default=None, help='"data,db" multi-chip mesh for fast mode')
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--max-candidates", type=int, default=128)
     ap.add_argument("--shards", type=int, default=1, help="round-robin input sharding")

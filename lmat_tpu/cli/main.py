@@ -296,6 +296,9 @@ def main(argv=None):
                    help="exact = host epilogue (bit-identical); fast = full "
                         "device scorer (TPU throughput path)")
     p.add_argument("--batch", type=int, default=512, help="fast-mode batch size")
+    p.add_argument("--mesh", default=None,
+                   help='"data,db" device mesh: shard the DB over chips with '
+                        "all_to_all query routing (fast mode)")
     p.add_argument("--max-candidates", type=int, default=128)
     p.add_argument("--shards", type=int, default=1)
     p.add_argument("--shard-id", type=int, default=0)

@@ -233,3 +233,32 @@ def split64(kmers: np.ndarray):
     return (kmers >> np.uint64(SUF_BITS)).astype(np.uint32), (
         kmers & np.uint64(SUF_MASK)
     ).astype(np.uint32)
+
+
+def host_gc_bins(batch: np.ndarray, k: int) -> np.ndarray:
+    """Per-read GC bins for a [B, L] uint8 batch, exact C semantics.
+
+    Computed on the host because the f32 division must be IEEE
+    correctly-rounded: TPU lowers f32 division to a reciprocal sequence that
+    can land one ulp low, flipping the truncation at exact bin boundaries
+    (e.g. 97/194 -> 0.49999997 -> bin 4 instead of 0.5 -> bin 5).  Same
+    statistics as ReadKmers: bases inside runs of >= k valid bases
+    (read_label.cpp:988-1008, 1205-1206).
+    """
+    batch = np.asarray(batch, np.uint8)
+    B, L = batch.shape
+    codes = _CODE_LUT[batch]
+    valid = codes != 255
+    gc = _GC_LUT[batch].astype(np.int64)
+    run_id = np.cumsum(~valid, axis=1) + np.arange(B)[:, None] * (L + 1)
+    runs = np.bincount(run_id[valid], minlength=B * (L + 1))
+    long_base = valid & (runs[run_id] >= k)
+    tot = long_base.sum(axis=1)
+    g = (gc * long_base).sum(axis=1)
+    ratio = np.where(
+        tot > 0,
+        np.float32(g.astype(np.float32)) / np.maximum(tot, 1).astype(np.float32),
+        np.float32(0),
+    ).astype(np.float32)
+    pct = (ratio.astype(np.float64) * 100.0).astype(np.float32)
+    return (pct / np.float32(10.0)).astype(np.int32)

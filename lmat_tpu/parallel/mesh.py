@@ -17,10 +17,24 @@ import numpy as np
 
 
 def make_mesh(data: int = 1, db: int = 1, devices=None):
+    import os
+
     import jax
     from jax.sharding import Mesh
 
     if devices is None:
+        if (
+            data * db > 1
+            and "--xla_force_host_platform_device_count"
+            in os.environ.get("XLA_FLAGS", "")
+        ):
+            # a virtual CPU mesh was requested: pin the platform BEFORE the
+            # first backend query (some environments force-prepend a
+            # single-chip TPU plugin that would otherwise win)
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
         devices = jax.devices()
     n = data * db
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
