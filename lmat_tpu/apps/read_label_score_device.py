@@ -45,6 +45,7 @@ class DeviceScorerConfig:
     diff_thresh2: float = 0.0   # hbias
     screen_phix: bool = True
     def_rand: float = 0.1
+    permissive: bool = False    # read_label -s (read_label.cpp:1050-1098)
 
 
 class DeviceScorer:
@@ -263,35 +264,54 @@ class DeviceScorer:
         oh = (tids[..., None] == cand1[:, None, None, :]) & tmask[..., None]
         occ_pos = jnp.any(oh, axis=2)  # [B,P,C]
 
-        # per-position ancestor suppression in candidate space: candidate i
-        # is suppressed at p iff some candidate j observed at p has anc1[i,j]
-        # (read_label.cpp:1067-1134).  Counts are small ints: exact in bf16.
         MMT = jnp.bfloat16 if C <= 256 else jnp.float32
-        sup = jnp.einsum(
-            "bpj,bij->bpi", occ_pos.astype(MMT), anc1.astype(MMT),
-            preferred_element_type=jnp.float32,
-        )
-        kept_c = occ_pos & ~(sup > 0)  # [B,P,C] kept occurrences
-        cnt1 = jnp.sum(kept_c.astype(jnp.int32), axis=1)  # [B,C]
-        valid1 = cnt1 > 0  # fully-suppressed tids never become candidates
+        qual_pos = None
+        if cfg.permissive:
+            # -s mode: every observed tid registers at its position; the
+            # per-position DEEPEST observed tids additionally contribute
+            # their root paths (read_label.cpp:1050-1098)
+            kept_c = occ_pos
+            cnt1 = jnp.sum(kept_c.astype(jnp.int32), axis=1)
+            valid1 = cnt1 > 0
+            depth1 = pk1[..., 2]
+            dmax = jnp.max(
+                jnp.where(occ_pos, depth1[:, None, :], -1), axis=2
+            )  # [B,P]
+            qual_pos = occ_pos & (depth1[:, None, :] == dmax[:, :, None]) & (
+                dmax[:, :, None] > 0
+            )
+            qualify1 = jnp.any(qual_pos, axis=1)
+        else:
+            # per-position ancestor suppression in candidate space: candidate
+            # i is suppressed at p iff some candidate j observed at p has
+            # anc1[i,j] (read_label.cpp:1067-1134).  Counts are small ints:
+            # exact in bf16.
+            sup = jnp.einsum(
+                "bpj,bij->bpi", occ_pos.astype(MMT), anc1.astype(MMT),
+                preferred_element_type=jnp.float32,
+            )
+            kept_c = occ_pos & ~(sup > 0)  # [B,P,C] kept occurrences
+            cnt1 = jnp.sum(kept_c.astype(jnp.int32), axis=1)  # [B,C]
+            valid1 = cnt1 > 0  # fully-suppressed tids never become candidates
 
-        # representative strain per species among valid strain candidates:
-        # max (count, -taxid); reference ties keep the smaller taxid
-        strain1 = (rank1 == 1) & (cand1 < SENTINEL) & valid1
-        has_spec1 = strain1 & (spec1 >= 0)
-        # pairwise dominance: another same-species strain with more hits, or
-        # equal hits and a smaller taxid, displaces this one
-        same_spec = (
-            (spec1[:, :, None] == spec1[:, None, :])
-            & has_spec1[:, None, :]
-            & has_spec1[:, :, None]
-        )
-        beats = same_spec & (
-            (cnt1[:, None, :] > cnt1[:, :, None])
-            | ((cnt1[:, None, :] == cnt1[:, :, None]) & (raw1[:, None, :] < raw1[:, :, None]))
-        )
-        is_rep1 = has_spec1 & ~jnp.any(beats, axis=2)
-        qualify1 = valid1 & (cand1 < SENTINEL) & (~strain1 | is_rep1)
+            # representative strain per species among valid strain
+            # candidates: max (count, -taxid); reference ties keep the
+            # smaller taxid
+            strain1 = (rank1 == 1) & (cand1 < SENTINEL) & valid1
+            has_spec1 = strain1 & (spec1 >= 0)
+            # pairwise dominance: another same-species strain with more
+            # hits, or equal hits and a smaller taxid, displaces this one
+            same_spec = (
+                (spec1[:, :, None] == spec1[:, None, :])
+                & has_spec1[:, None, :]
+                & has_spec1[:, :, None]
+            )
+            beats = same_spec & (
+                (cnt1[:, None, :] > cnt1[:, :, None])
+                | ((cnt1[:, None, :] == cnt1[:, :, None]) & (raw1[:, None, :] < raw1[:, :, None]))
+            )
+            is_rep1 = has_spec1 & ~jnp.any(beats, axis=2)
+            qualify1 = valid1 & (cand1 < SENTINEL) & (~strain1 | is_rep1)
 
         # --- stage 2: final candidates = stage1 + qualifying paths --------
         paths1 = jnp.take(self.path_mat, cand1, axis=0, mode="clip")  # [B,C,D]
@@ -318,11 +338,22 @@ class DeviceScorer:
         anc_fc = (e_in_c[:, None, :] < e_in1[:, :, None]) & (
             e_in1[:, :, None] < e_out_c[:, None, :]
         )  # cand[c] proper ancestor of cand1[j]
-        M1 = direct | (anc_fc & qualify1[:, :, None])
-        X = jnp.einsum(
-            "bpj,bjc->bpc", kept_c.astype(MMT), M1.astype(MMT),
-            preferred_element_type=jnp.float32,
-        )
+        if cfg.permissive:
+            # ancestor presence requires the contributor to be among the
+            # position's deepest observations, so it gets its own matmul
+            X = jnp.einsum(
+                "bpj,bjc->bpc", kept_c.astype(MMT), direct.astype(MMT),
+                preferred_element_type=jnp.float32,
+            ) + jnp.einsum(
+                "bpj,bjc->bpc", qual_pos.astype(MMT), anc_fc.astype(MMT),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            M1 = direct | (anc_fc & qualify1[:, :, None])
+            X = jnp.einsum(
+                "bpj,bjc->bpc", kept_c.astype(MMT), M1.astype(MMT),
+                preferred_element_type=jnp.float32,
+            )
         pres_any = X > 0
         found_cnt = jnp.sum(pres_any.astype(jnp.int32), axis=1)
 

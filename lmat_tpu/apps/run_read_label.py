@@ -35,6 +35,7 @@ def run(args) -> Classifier:
         diff_thresh=args.sdiff,
         diff_thresh2=args.hbias,
         prn_all=True,
+        permissive=getattr(args, "permissive", False),
     )
     mode = getattr(args, "mode", "exact") or "exact"
     if mode == "fast":
@@ -86,6 +87,7 @@ def _make_fast(tax, index, args, null):
         min_kmer=args.min_kmer,
         diff_thresh=args.sdiff,
         diff_thresh2=args.hbias,
+        permissive=getattr(args, "permissive", False),
     )
     mesh_spec = getattr(args, "mesh", None)
     if mesh_spec:
@@ -195,6 +197,7 @@ def main(argv=None):
     ap.add_argument("-b", "--sdiff", type=float, default=1.0)
     ap.add_argument("-l", "--hbias", type=float, default=0.0)
     ap.add_argument("-q", "--fastq", action="store_true")
+    ap.add_argument("-s", "--permissive", action="store_true")
     ap.add_argument("--mode", choices=("exact", "fast"), default="exact")
     ap.add_argument("--mesh", default=None, help='"data,db" multi-chip mesh for fast mode')
     ap.add_argument("--batch", type=int, default=512)

@@ -292,6 +292,8 @@ def main(argv=None):
     p.add_argument("-b", "--sdiff", type=float, default=1.0)
     p.add_argument("-l", "--hbias", type=float, default=0.0)
     p.add_argument("-q", "--fastq", action="store_true")
+    p.add_argument("-s", "--permissive", action="store_true",
+                   help="register every observed taxid (read_label -s)")
     p.add_argument("--mode", choices=("exact", "fast"), default="exact",
                    help="exact = host epilogue (bit-identical); fast = full "
                         "device scorer (TPU throughput path)")

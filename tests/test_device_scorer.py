@@ -73,3 +73,45 @@ def test_fast_matches_exact(env):
     # summary tallies agree
     assert fast.track_count == exact.track_count
     assert fast.track_nomatch == exact.track_nomatch
+
+
+def test_fast_permissive_matches_exact():
+    """Permissive (-s) fast mode: call-level identical to the permissive
+    host classifier on the fixture."""
+    import os
+
+    import numpy as np
+
+    from lmat_tpu.apps.make_db import build_from_tax_histo
+    from lmat_tpu.apps.read_label_fast import FastClassifier
+    from lmat_tpu.apps.read_label_host import Classifier, ScoreOptions
+    from lmat_tpu.apps.read_label_score_device import (
+        DeviceScorer, DeviceScorerConfig)
+    from lmat_tpu.core.taxonomy import Taxonomy
+    from lmat_tpu.io.fasta import iter_reads_lmat
+
+    FIX = os.path.join(os.path.dirname(__file__), "fixtures", "golden_small")
+    tax = Taxonomy.from_lmat_file(FIX + "/taxtree.dat")
+    tax.load_depth_file(FIX + "/depth.dat")
+    tax.load_rank_file(FIX + "/ranks.dat")
+    idx = build_from_tax_histo(FIX + "/work/taxhisto.bin", k=20, max_tids=8)
+
+    host = Classifier(tax, idx, ScoreOptions(
+        min_score=0.0, min_kmer=30, prn_all=True, permissive=True))
+    sc = DeviceScorer(tax, DeviceScorerConfig(
+        max_candidates=128, min_kmer=30, permissive=True))
+    fast = FastClassifier(sc.remap_index_tids(idx).to_device(), sc, k=20)
+
+    reads = []
+    for i, (hdr, seq) in enumerate(iter_reads_lmat(FIX + "/reads.fa")):
+        reads.append((hdr or f"unknown_hdr:{i+1}", seq))
+    fast_lines = fast.classify_stream([reads[i : i + 100] for i in range(0, 400, 100)])
+    for i, (hdr, seq) in enumerate(reads):
+        exact = host.classify(hdr, seq)
+        f_call = fast_lines[i].split("\t")[-1].split()
+        e_call = exact.split("\t")[-1].split()
+        assert f_call[0::2] == e_call[0::2], f"read {i}: {f_call} vs {e_call}"
+        # candidate SETS identical too (scores may differ in ulps)
+        f_set = set(fast_lines[i].split("\t")[3].split()[0::2])
+        e_set = set(exact.split("\t")[3].split()[0::2])
+        assert f_set == e_set, f"read {i}"
