@@ -159,6 +159,58 @@ def cmd_rand_read_label(args):
     print(f"null observations at {args.output}.rand_lst")
 
 
+def cmd_report(args):
+    """Reporting/rescore utilities over classifier outputs."""
+    t = args.tool
+    if t == "losummary":
+        from ..reporting.losummary import losummary, read_rank_lineages
+
+        lineages = read_rank_lineages(args.rank_ids or _load_runtime(args)[1]["rank_ids"])
+        for f in args.inputs:
+            losummary(f, lineages, args.min_score, args.min_kmer)
+            print(f"rescored {f}")
+    elif t == "gsummary":
+        from ..reporting.gsummary import gsummary
+
+        gsummary(args.inputs, args.min_score, args.min_kmer, args.output)
+        print(f"gene re-bin -> {args.output}")
+    elif t == "pull-reads":
+        from ..reporting.pull_reads import pull_reads
+
+        for f in args.inputs:
+            pull_reads(f, args.id_file, args.min_score, args.min_kmer, args.output)
+        print(f"pulled reads under {args.output}")
+    elif t == "multi-table":
+        from ..reporting.multi_table import multi_table
+
+        samples = []
+        for spec in args.inputs:
+            name, path, total = spec.split(":")
+            samples.append((name, path, int(total)))
+        multi_table(samples, args.output, min_score=args.min_score)
+        print(f"multi-sample table -> {args.output}")
+    elif t == "biom":
+        from ..reporting.biom import fastsummary_to_biom
+
+        samples = []
+        for spec in args.inputs:
+            name, path = spec.split(":")[:2]
+            samples.append((name, path))
+        fastsummary_to_biom(samples, args.output)
+        print(f"BIOM table -> {args.output}")
+    elif t == "html":
+        from ..reporting.html_report import report_html
+
+        report_html(args.inputs[0], args.inputs[1], args.output)
+        print(f"HTML report -> {args.output}")
+    elif t == "tolineage":
+        from ..reporting.tolineage import tolineage
+
+        rank_ids = args.rank_ids or _load_runtime(args)[1]["rank_ids"]
+        tolineage(rank_ids, args.inputs[0], args.output, 10, 0.0)
+        print(f"lineage table -> {args.output}")
+
+
 def cmd_gen_null_model(args):
     """Null-model pipeline (bin/gen_rand_mod.sh): loop read lengths, score
     random GC-binned reads, roll up sparse taxids (merge_cnts), emit the
@@ -360,6 +412,19 @@ def main(argv=None):
     p.add_argument("--tax-tree"), p.add_argument("--depth")
     p.add_argument("--rank-file"), p.add_argument("--rank-ids")
     p.set_defaults(fn=cmd_rand_read_label)
+
+    p = sub.add_parser("report", help="reporting/rescore utilities")
+    p.add_argument("tool", choices=("losummary", "gsummary", "pull-reads",
+                                    "multi-table", "biom", "html", "tolineage"))
+    p.add_argument("-i", "--inputs", nargs="+", required=True,
+                   help="input files; multi-table/biom take name:path[:total] specs")
+    p.add_argument("-o", "--output", default=".")
+    p.add_argument("-x", "--min-score", type=float, default=0.0)
+    p.add_argument("-j", "--min-kmer", type=int, default=30)
+    p.add_argument("--id-file", default=None)
+    p.add_argument("--tax-tree"), p.add_argument("--depth")
+    p.add_argument("--rank-file"), p.add_argument("--rank-ids")
+    p.set_defaults(fn=cmd_report)
 
     p = sub.add_parser("gen-null-model", help="null-model pipeline (gen_rand_mod.sh)")
     p.add_argument("-d", "--db", required=True)
