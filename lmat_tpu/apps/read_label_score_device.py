@@ -267,19 +267,15 @@ class DeviceScorer:
         MMT = jnp.bfloat16 if C <= 256 else jnp.float32
         qual_pos = None
         if cfg.permissive:
-            # -s mode: every observed tid registers at its position; the
-            # per-position DEEPEST observed tids additionally contribute
-            # their root paths (read_label.cpp:1050-1098)
+            # -s mode: every observed tid registers at its position, and every
+            # observed tid with depth > 0 contributes its root path (the
+            # reference's last_depth guard never updates, so the depth-desc
+            # walk only stops at depth-0 entries — read_label.cpp:1074-1100)
             kept_c = occ_pos
             cnt1 = jnp.sum(kept_c.astype(jnp.int32), axis=1)
             valid1 = cnt1 > 0
             depth1 = pk1[..., 2]
-            dmax = jnp.max(
-                jnp.where(occ_pos, depth1[:, None, :], -1), axis=2
-            )  # [B,P]
-            qual_pos = occ_pos & (depth1[:, None, :] == dmax[:, :, None]) & (
-                dmax[:, :, None] > 0
-            )
+            qual_pos = occ_pos & (depth1[:, None, :] > 0)
             qualify1 = jnp.any(qual_pos, axis=1)
         else:
             # per-position ancestor suppression in candidate space: candidate

@@ -1,0 +1,146 @@
+"""Randomized differential testing: the device fast path against the
+bit-exact host classifier on random taxonomies/DBs/reads (the fixture only
+covers one geometry; random shapes catch boundary bugs like deep-bucket
+binary-search cutovers)."""
+
+import numpy as np
+import pytest
+
+from lmat_tpu.apps.read_label_fast import FastClassifier
+from lmat_tpu.apps.read_label_host import Classifier, ScoreOptions
+from lmat_tpu.apps.read_label_score_device import DeviceScorer, DeviceScorerConfig
+from lmat_tpu.core.index import KmerIndex
+from lmat_tpu.core.taxonomy import Taxonomy
+
+
+def random_taxonomy(rng, n_genus=6, n_species=4, n_strain=3):
+    parent, names, children = {1: 1}, {1: "root"}, {1: set()}
+    tid = 2
+    leaves = []
+
+    def add(t, p):
+        parent[t] = p
+        names[t] = f"n{t}"
+        children[t] = set()
+        children[p].add(t)
+
+    for g in range(n_genus):
+        gt = tid; tid += 1
+        add(gt, 1)
+        for s_ in range(n_species):
+            st = tid; tid += 1
+            add(st, gt)
+            for _ in range(n_strain):
+                lt = tid; tid += 1
+                add(lt, st)
+                leaves.append(lt)
+    tax = Taxonomy(parent, names, children)
+    for t in parent:
+        d = len(tax.path_to_root(t))
+        tax.depth[t] = d
+        tax.rank[t] = ["no_rank", "genus", "species", "strain"][d]
+    return tax, leaves
+
+
+def random_db(rng, tax, leaves, k, n_kmers, max_tids, clump):
+    kmers = np.unique(rng.integers(0, 1 << (2 * k), size=n_kmers, dtype=np.uint64))
+    if clump:
+        # cram half the k-mers into a handful of buckets to force deep
+        # binary-search paths
+        half = len(kmers) // 2
+        kmers[:half] = (np.uint64(rng.integers(0, 4)) << np.uint64(20)) | (
+            kmers[:half] & np.uint64(0xFFFFF)
+        )
+        kmers = np.unique(kmers)
+    lists = []
+    nodes = np.asarray(sorted(tax.parent))
+    for _ in range(len(kmers)):
+        sz = int(rng.integers(1, max_tids + 1))
+        tids = sorted(int(x) for x in set(rng.choice(nodes, size=sz).tolist()))
+        lists.append(np.asarray(tids, np.uint32))
+    return KmerIndex.build(kmers, lists, k, max_tids=max_tids)
+
+
+def random_reads(rng, idx, k, n, L):
+    bases = "ACGT"
+    reads = []
+    kmers_pool = None
+    for i in range(n):
+        kind = i % 4
+        if kind == 0:  # pure random
+            s = "".join(rng.choice(list(bases), size=L))
+        elif kind == 1:  # stitched DB k-mers
+            # decode random stored k-mers back to sequence
+            if kmers_pool is None:
+                # reconstruct k-mer values from the index tables
+                suf = idx.suffix.astype(np.uint64)
+                bs = idx.bucket_start
+                buckets = np.searchsorted(
+                    bs.astype(np.int64), np.arange(len(suf)), side="right"
+                ) - 1
+                kmers_pool = (buckets.astype(np.uint64) << np.uint64(20)) | suf
+            pick = kmers_pool[rng.integers(0, len(kmers_pool), size=L // k + 1)]
+            chars = []
+            for km in pick:
+                for t in range(k):
+                    chars.append(bases[(int(km) >> (2 * (k - 1 - t))) & 3])
+            s = "".join(chars[:L])
+        elif kind == 2:  # Ns and lowercase sprinkled
+            arr = list("".join(rng.choice(list(bases), size=L)))
+            for j in rng.integers(0, L, size=L // 11):
+                arr[int(j)] = "N"
+            s = "".join(arr).lower()
+        else:  # short read
+            s = "".join(rng.choice(list(bases), size=int(rng.integers(5, 40))))
+        reads.append((f"r{i}", s))
+    return reads
+
+
+@pytest.mark.parametrize("seed,clump,permissive", [
+    (101, False, False), (202, True, False), (303, True, True),
+])
+def test_fast_vs_exact_random(seed, clump, permissive):
+    rng = np.random.default_rng(seed)
+    k = 20
+    tax, leaves = random_taxonomy(rng)
+    idx = random_db(rng, tax, leaves, k, n_kmers=30_000, max_tids=6, clump=clump)
+    reads = random_reads(rng, idx, k, n=96, L=150)
+
+    host = Classifier(tax, idx, ScoreOptions(
+        min_score=0.0, min_kmer=30, prn_all=True, permissive=permissive))
+    sc = DeviceScorer(tax, DeviceScorerConfig(
+        max_candidates=128, min_kmer=30, permissive=permissive))
+    fast = FastClassifier(sc.remap_index_tids(idx).to_device(), sc, k=k)
+
+    lines = fast.classify_stream([reads[i : i + 32] for i in range(0, len(reads), 32)])
+    n_tie_skipped = 0
+    for i, (hdr, seq) in enumerate(reads):
+        exact = host.classify(hdr, seq)
+        f_parts = lines[i].split("\t")
+        e_parts = exact.split("\t")
+        # hard invariants: stats column (ints exact, floats to ulp noise)
+        # and candidate taxid SETS
+        ft, et = f_parts[2].split(), e_parts[2].split()
+        assert ft[2:] == et[2:], f"seed {seed} read {i} stats ints"
+        assert np.allclose([float(x) for x in ft[:2]],
+                           [float(x) for x in et[:2]], rtol=1e-4, atol=1e-6), (
+            f"seed {seed} read {i} stats floats: {ft} vs {et}")
+        if len(f_parts) > 3 and len(e_parts) > 3:
+            assert set(f_parts[3].split()[0::2]) == set(e_parts[3].split()[0::2]), (
+                f"seed {seed} read {i}\nfast:  {lines[i]}\nexact: {exact}")
+        # the call is tie-order dependent when candidates sit within the
+        # reference's 1e-3 TCmp epsilon of each other (fast mode documents
+        # ascending-taxid ties); assert it only for unambiguous reads
+        scores = sorted(
+            (float(x) for x in e_parts[3].split()[1::2]), reverse=True
+        ) if len(e_parts) > 3 else []
+        ambiguous = any(
+            abs(scores[j] - scores[j + 1]) < 1.1e-3 for j in range(len(scores) - 1)
+        )
+        if ambiguous:
+            n_tie_skipped += 1
+            continue
+        assert f_parts[-1].split()[0::2] == e_parts[-1].split()[0::2], (
+            f"seed {seed} read {i}\nfast:  {lines[i]}\nexact: {exact}")
+    # the fuzz data must not be so degenerate that everything ties
+    assert n_tie_skipped < len(reads)
