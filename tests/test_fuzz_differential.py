@@ -52,6 +52,8 @@ def random_db(rng, tax, leaves, k, n_kmers, max_tids, clump):
             kmers[:half] & np.uint64(0xFFFFF)
         )
         kmers = np.unique(kmers)
+    kmers &= np.uint64((1 << (2 * k)) - 1)
+    kmers = np.unique(kmers)
     lists = []
     nodes = np.asarray(sorted(tax.parent))
     for _ in range(len(kmers)):
@@ -79,6 +81,7 @@ def random_reads(rng, idx, k, n, L):
                     bs.astype(np.int64), np.arange(len(suf)), side="right"
                 ) - 1
                 kmers_pool = (buckets.astype(np.uint64) << np.uint64(20)) | suf
+                kmers_pool &= np.uint64((1 << (2 * k)) - 1)
             pick = kmers_pool[rng.integers(0, len(kmers_pool), size=L // k + 1)]
             chars = []
             for km in pick:
@@ -96,12 +99,12 @@ def random_reads(rng, idx, k, n, L):
     return reads
 
 
-@pytest.mark.parametrize("seed,clump,permissive", [
-    (101, False, False), (202, True, False), (303, True, True),
+@pytest.mark.parametrize("seed,clump,permissive,k", [
+    (101, False, False, 20), (202, True, False, 20), (303, True, True, 20),
+    (404, True, False, 18),
 ])
-def test_fast_vs_exact_random(seed, clump, permissive):
+def test_fast_vs_exact_random(seed, clump, permissive, k):
     rng = np.random.default_rng(seed)
-    k = 20
     tax, leaves = random_taxonomy(rng)
     idx = random_db(rng, tax, leaves, k, n_kmers=30_000, max_tids=6, clump=clump)
     reads = random_reads(rng, idx, k, n=96, L=150)
