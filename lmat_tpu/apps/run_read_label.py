@@ -45,6 +45,9 @@ def run(args) -> Classifier:
     n_shards = getattr(args, "shards", 1) or 1
     shard_id = getattr(args, "shard_id", 0) or 0
     base = f"{args.output}.{fmt_float(args.min_score) if args.min_score else '0'}.{args.min_kmer}"
+    if n_shards > 1:
+        # per-shard summaries; combine with `lmat-tpu report merge-fastsummary`
+        base += f".shard{shard_id}"
     out_file = f"{args.output}{shard_id}.out"
     if (
         not getattr(args, "overwrite", False)

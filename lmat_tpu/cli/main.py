@@ -180,6 +180,11 @@ def cmd_report(args):
         for f in args.inputs:
             pull_reads(f, args.id_file, args.min_score, args.min_kmer, args.output)
         print(f"pulled reads under {args.output}")
+    elif t == "merge-fastsummary":
+        from ..reporting.multi_table import merge_fastsummary
+
+        merge_fastsummary(args.inputs, args.output)
+        print(f"merged fastsummary -> {args.output}")
     elif t == "multi-table":
         from ..reporting.multi_table import multi_table
 
@@ -415,7 +420,8 @@ def main(argv=None):
 
     p = sub.add_parser("report", help="reporting/rescore utilities")
     p.add_argument("tool", choices=("losummary", "gsummary", "pull-reads",
-                                    "multi-table", "biom", "html", "tolineage"))
+                                    "multi-table", "merge-fastsummary", "biom",
+                                    "html", "tolineage"))
     p.add_argument("-i", "--inputs", nargs="+", required=True,
                    help="input files; multi-table/biom take name:path[:total] specs")
     p.add_argument("-o", "--output", default=".")

@@ -67,3 +67,33 @@ def multi_table(samples: list[tuple[str, str, int]], out_path: str,
                 ]
                 f.write("\t".join(row) + "\n")
     return out_path
+
+
+def merge_fastsummary(paths, out_path: str):
+    """Merge per-shard .fastsummary files into one (the reference merges its
+    per-thread maps in-process, read_label.cpp:1760-1800; sharded runs merge
+    at file level).  Weighted scores accumulate in f32 in input order; rows
+    re-sort by weighted score descending like write_fastsummary."""
+    import numpy as np
+
+    F = np.float32
+    wght: dict[int, F] = {}
+    cnt: dict[int, int] = {}
+    name: dict[int, str] = {}
+    for path in paths:
+        with open(path) as f:
+            for line in f:
+                toks = line.rstrip("\n").split("\t")
+                if len(toks) < 4:
+                    continue
+                tid = int(toks[2])
+                wght[tid] = F(wght.get(tid, F(0)) + F(toks[0]))
+                cnt[tid] = cnt.get(tid, 0) + int(toks[1])
+                name.setdefault(tid, toks[3])
+    from ..io.cppfmt import fmt_float
+
+    rows = sorted(wght, key=lambda t: (-wght[t], t))
+    with open(out_path, "w") as out:
+        for t in rows:
+            out.write(f"{fmt_float(wght[t])}\t{cnt[t]}\t{t}\t{name[t]}\n")
+    return out_path
