@@ -145,7 +145,9 @@ class FastClassifier:
 
         cfg = self.scorer.cfg
         ints, flts, tid_sorted, score_sorted, overflow = jax.device_get(dev_out)
-        assert int(overflow) == 0, "candidate cap overflow; raise max_candidates"
+        assert int(overflow) == 0, (
+            "capacity overflow: raise max_candidates (candidate table) or the "
+            "router cap (sharded mode)")
         res = fmt_out_lines(
             ints, flts, tid_sorted, score_sorted, reads,
             self.k, cfg.min_kmer, cfg.min_fnd_kmer, cfg.screen_phix,
@@ -180,7 +182,9 @@ class FastClassifier:
             "tid": tid_sorted.tolist(),
             "score": score_sorted.tolist(),
         }
-        assert int(overflow) == 0, "candidate cap overflow; raise max_candidates"
+        assert int(overflow) == 0, (
+            "capacity overflow: raise max_candidates (candidate table) or the "
+            "router cap (sharded mode)")
         lines = []
         for i, (hdr, seq) in enumerate(reads):
             line = f"{hdr}\t{seq}\t" + self._finish_read(i, seq, res, cfg)

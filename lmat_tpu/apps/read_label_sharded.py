@@ -111,7 +111,8 @@ class ShardedFastClassifier(FastClassifier):
 
 def make_sharded_classifier(mesh, index, taxonomy, cfg, null_model=None,
                             k: int = 20, min_score: float = 0.0,
-                            batch: int = 512, read_len: int = 256):
+                            batch: int = 512, read_len: int = 256,
+                            cap: int | None = None):
     """Build (scorer, ShardedFastClassifier) from a host KmerIndex: the
     index arena is remapped to node indices + flag bits, then sharded by
     prefix bucket over the mesh's db axis."""
@@ -122,5 +123,5 @@ def make_sharded_classifier(mesh, index, taxonomy, cfg, null_model=None,
     remapped = scorer.remap_index_tids(index)
     sidx = ShardedIndex.from_index(remapped, n_db)
     clf = ShardedFastClassifier(mesh, sidx, scorer, k=k, min_score=min_score,
-                                batch=batch, read_len=read_len)
+                                batch=batch, read_len=read_len, cap=cap)
     return scorer, clf
