@@ -66,3 +66,40 @@ def test_compact16_round_trip():
         host = idx.lookup_host(km)
         assert found[j]
         assert np.array_equal(tids[j][tmask[j]], host[1])
+
+
+def test_fast_mode_16bit_matches_32bit():
+    """Full fast-mode classification over a 16-bit compacted index must
+    equal the 32-bit original (the remap resolves the conversion table
+    before upload)."""
+    import os
+
+    from lmat_tpu.apps.make_db import build_from_tax_histo, compact_16bit
+    from lmat_tpu.apps.read_label_fast import FastClassifier
+    from lmat_tpu.apps.read_label_score_device import (
+        DeviceScorer, DeviceScorerConfig)
+    from lmat_tpu.core.taxonomy import Taxonomy
+    from lmat_tpu.io.fasta import iter_reads_lmat
+
+    FIX = os.path.join(os.path.dirname(__file__), "fixtures", "golden_small")
+    tax = Taxonomy.from_lmat_file(FIX + "/taxtree.dat")
+    tax.load_depth_file(FIX + "/depth.dat")
+    tax.load_rank_file(FIX + "/ranks.dat")
+    idx32 = build_from_tax_histo(FIX + "/work/taxhisto.bin", k=20, max_tids=8)
+    conv = {int(t): i + 1 for i, t in enumerate(sorted(tax.parent))}
+    idx16 = compact_16bit(
+        build_from_tax_histo(FIX + "/work/taxhisto.bin", k=20, max_tids=8), conv
+    )
+    assert idx16.conv_table is not None
+
+    reads = []
+    for i, (hdr, seq) in enumerate(iter_reads_lmat(FIX + "/reads.fa")):
+        reads.append((hdr or f"u{i}", seq))
+    reads = reads[:128]
+
+    def classify(idx):
+        sc = DeviceScorer(tax, DeviceScorerConfig(max_candidates=128, min_kmer=30))
+        fc = FastClassifier(sc.remap_index_tids(idx).to_device(), sc, k=20)
+        return fc.classify_stream([reads[i : i + 64] for i in range(0, 128, 64)])
+
+    assert classify(idx16) == classify(idx32)
