@@ -204,9 +204,12 @@ class GeneLabeler:
             ohf = oh.astype(jnp.float32)
 
             def compact(vals):
+                # precision=HIGHEST: carries integer gene-ID halves; default
+                # f32 dots may round through bf16 on some TPU generations.
                 return jnp.einsum(
                     "bj,bjc->bc", vals.astype(jnp.float32), ohf,
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 ).astype(jnp.int32)
 
             lo16 = compact(s & 0xFFFF)

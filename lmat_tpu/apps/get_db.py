@@ -91,7 +91,9 @@ def fetch_inputs(name: str, outdir: str) -> str:
     url = f"{FTP_BASE}/runtime_inputs/{name}.tgz"
     with _open_url(url) as resp:
         with tarfile.open(fileobj=resp, mode="r|gz") as tf:
-            tf.extractall(outdir)
+            # filter="data" rejects ../ and absolute member paths so a
+            # MITM'd FTP server cannot write outside outdir.
+            tf.extractall(outdir, filter="data")
     return os.path.abspath(outdir)
 
 

@@ -236,9 +236,13 @@ class DeviceScorer:
             oh = uniq[:, :, None] & (
                 pos[:, :, None] == jnp.arange(C, dtype=jnp.int32)[None, None, :]
             )
+            # precision=HIGHEST: this matmul carries integer IDs; on TPU
+            # generations where default f32 dots round through bf16 inputs,
+            # any ID > 2^8 would silently corrupt.
             out = jnp.einsum(
                 "bj,bjc->bc", s.astype(jnp.float32), oh.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             ).astype(jnp.int32)
             out = jnp.where(jnp.any(oh, axis=1), out, SENTINEL)
             total = jnp.max(pos, axis=1) + 1

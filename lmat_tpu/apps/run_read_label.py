@@ -174,9 +174,12 @@ def _run_fast(clf, args, f, n_shards, shard_id) -> int:
                     nxt = (b, pool.submit(jax.device_get, dev_out))
             if fetch is not None:
                 p_b, fut = fetch
-                if use_native:
-                    sink.write(clf.format_native(p_b, fut.result()))
+                data = clf.format_native(p_b, fut.result()) if use_native else None
+                if data is not None:
+                    sink.write(data)
                 else:
+                    # format_native returns None when the native formatter
+                    # can't handle this batch — fall back to the Python path
                     lines = clf._format(p_b, fut.result())
                     f.write("".join(l if l.endswith("\t") else l + "\n" for l in lines))
                 n += len(p_b)

@@ -16,6 +16,18 @@ from __future__ import annotations
 import numpy as np
 
 
+def _n_local_tpu_chips() -> int:
+    """Count real TPU chips on this host WITHOUT initializing JAX (the
+    platform choice freezes at the first backend query).  TPU VMs expose
+    chips as /dev/accel* (PCI driver) or /dev/vfio/<N> (vfio driver)."""
+    import glob
+
+    return max(
+        len(glob.glob("/dev/accel*")),
+        len(glob.glob("/dev/vfio/[0-9]*")),
+    )
+
+
 def make_mesh(data: int = 1, db: int = 1, devices=None):
     import os
 
@@ -27,10 +39,16 @@ def make_mesh(data: int = 1, db: int = 1, devices=None):
             data * db > 1
             and "--xla_force_host_platform_device_count"
             in os.environ.get("XLA_FLAGS", "")
+            and _n_local_tpu_chips() < data * db
         ):
-            # a virtual CPU mesh was requested: pin the platform BEFORE the
-            # first backend query (some environments force-prepend a
-            # single-chip TPU plugin that would otherwise win)
+            # A virtual CPU mesh was requested (the force-device-count flag is
+            # set and this host does not have enough real TPU chips to
+            # satisfy the mesh — tunneled single-chip setups included).  Pin
+            # cpu BEFORE the first backend query — the platform choice freezes
+            # at the first jax.devices() call, even with an explicit backend
+            # argument, so the decision must be made without touching JAX.
+            # On a real multi-chip TPU host where XLA_FLAGS carries the flag
+            # for unrelated reasons, the chip count keeps the TPUs in charge.
             try:
                 jax.config.update("jax_platforms", "cpu")
             except Exception:
