@@ -23,7 +23,16 @@ def run(args) -> Classifier:
     tax.load_depth_file(args.depth)
     if args.rank_file:
         tax.load_rank_file(args.rank_file)
-    index = KmerIndex.load(args.db)
+    if os.path.isdir(args.db):
+        index = KmerIndex.load(args.db)
+    else:
+        # native SortedDb PERM image (run_rl.sh -d on a published .db file);
+        # -f conv map resolves 16-bit compacted ids back to 32-bit
+        from ..io.permdb import load_conv_map, load_perm_db
+
+        cm_path = getattr(args, "conv_map", None)
+        cm = load_conv_map(cm_path) if cm_path else None
+        index = load_perm_db(args.db, conv_map=cm)
     null = None
     if args.null_list:
         from ..core.nullmodel import NullModel

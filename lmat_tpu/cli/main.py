@@ -46,7 +46,9 @@ def _load_runtime(args):
         tax.load_depth_file(depth)
     if rank:
         tax.load_rank_file(rank)
-    return tax, {"tree": tree, "depth": depth, "rank": rank, "rank_ids": rank_ids, "dir": d}
+    conv = find("m9.32To16.map", "m32to16.map")
+    return tax, {"tree": tree, "depth": depth, "rank": rank, "rank_ids": rank_ids,
+                 "conv": conv, "dir": d}
 
 
 def cmd_make_db(args):
@@ -88,6 +90,7 @@ def cmd_run_rl(args):
         min_score=args.min_score, min_kmer=args.min_read_kmer,
         sdiff=args.sdiff, hbias=args.hbias, fastq=args.reads.endswith((".fq", ".fastq")),
         mode=args.mode, batch=args.batch, max_candidates=args.max_candidates,
+        conv_map=None if os.path.isdir(args.db) else files["conv"],
     )
     rl_run(ns)
     fastsum = f"{rlofile}.{args.min_score if args.min_score else '0'}.{args.min_read_kmer}.fastsummary"
@@ -362,6 +365,8 @@ def main(argv=None):
     p.add_argument("--shards", type=int, default=1)
     p.add_argument("--shard-id", type=int, default=0)
     p.add_argument("--overwrite", action="store_true")
+    p.add_argument("-f", "--conv-map", default=None,
+                   help="32<->16-bit taxid map (run_rl.sh -f) for 16-bit native .db images")
     p.set_defaults(fn=cmd_read_label)
 
     p = sub.add_parser("run-rl", help="pipeline: classify + reports (run_rl.sh)")

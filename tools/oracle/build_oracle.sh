@@ -26,8 +26,14 @@ cp "$HERE"/gzstream.h "$OUT"/include/
 } > "$OUT"/include/all_headers.hpp
 
 CXX=${CXX:-g++}
-FLAGS="-O2 -g -fopenmp -std=gnu++17 -Wno-deprecated -DIDX_CONFIG=2027 \
-  -DTID_SIZE=32 -DDBTID_T=uint32_t -DUSE_SORTED_DB=1 -DWITH_PJMALLOC=1 \
+# IDX_CONFIG=1827 builds the 18-mer geometry; TID_SIZE=16 the compacted-id
+# variant (CMakeLists.txt:76-122 equivalents)
+IDX_CONFIG=${IDX_CONFIG:-2027}
+TID_SIZE=${TID_SIZE:-32}
+DBTID_T=uint32_t
+[ "$TID_SIZE" = 16 ] && DBTID_T=uint16_t
+FLAGS="-O2 -g -fopenmp -std=gnu++17 -Wno-deprecated -DIDX_CONFIG=$IDX_CONFIG \
+  -DTID_SIZE=$TID_SIZE -DDBTID_T=$DBTID_T -DUSE_SORTED_DB=1 -DWITH_PJMALLOC=1 \
   -I$OUT/include -I$REF/include -I$REF/src/kmerdb -I$REF/src"
 
 # library objects

@@ -46,10 +46,7 @@ eval "LD_PRELOAD=$ORACLE/efence.so $ORACLE/bin/read_label -e $FIX/depth.dat \
 # geometry-independent so they compare against our SUF_BITS=20 layout.
 O18=/tmp/lmat_oracle18
 if [ ! -x "$O18/bin/read_label" ]; then
-    sed 's/-DIDX_CONFIG=2027/-DIDX_CONFIG=1827/' "$HERE"/build_oracle.sh \
-        > "$HERE"/_build18.sh
-    bash "$HERE"/_build18.sh "$O18"
-    rm -f "$HERE"/_build18.sh
+    IDX_CONFIG=1827 "$HERE"/build_oracle.sh "$O18"
 fi
 "$O18"/bin/kmerPrefixCounter -k 18 -l 0 -f 0 -i "$FIX"/genomes.fa \
     -o "$WORK"/k18mers > "$WORK"/k18.log 2>&1
@@ -62,5 +59,8 @@ fi
     -u "$FIX"/taxids.info -w "$FIX"/ranks.dat -k 18 -o "$WORK"/rl_k18 \
     > "$WORK"/rl_k18.log 2>&1
 rm -f "$WORK"/k18mers.0 "$WORK"/fixture18.db
+
+# native PERM .db images for the importer tests (kept outside the repo)
+"$HERE"/gen_perm_golden.sh "$FIX"
 
 echo "regen complete"
