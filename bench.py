@@ -140,7 +140,8 @@ def main():
     )
     scorer = DeviceScorer(tax, cfg)
     remapped = scorer.remap_index_tids(idx)
-    fast = FastClassifier(remapped.to_device(), scorer, k=K)
+    layout = os.environ.get("BENCH_LAYOUT", "auto")
+    fast = FastClassifier(remapped.to_device(layout=layout), scorer, k=K)
 
     rng = np.random.default_rng(99)
     batches = [make_reads(kmers, groups, rng, B) for _ in range(N_BATCHES)]

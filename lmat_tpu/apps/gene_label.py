@@ -187,7 +187,7 @@ class GeneLabeler:
         k = self.opts.k
         SENT = jnp.int32(0x7FFFFFFF)
 
-        def step(batch):
+        def step(dev, batch):
             pr = probe(dev, prepare_reads(batch, k))
             gids = pr["tids"].astype(jnp.int32)
             tmask = pr["tmask"]
@@ -226,7 +226,9 @@ class GeneLabeler:
             valid_cnt = jnp.sum(pr["qvalid"].astype(jnp.int32), axis=1)
             return cand, cnt, first, n_cand, valid_cnt, overflow
 
-        return jax.jit(step)
+        import functools
+
+        return functools.partial(jax.jit(step), dev)
 
     def _run_device(self, f, ofs, batch_size: int = 1024, max_genes: int = 256):
         """Batched device gene pass: the per-position/per-gid Python loop is

@@ -55,7 +55,7 @@ class RandReadLabeler:
             dev = scorer.remap_index_tids(index).to_device()
             k = index.k
 
-            def step(batch_arr):
+            def step(dev, batch_arr):
                 pr = probe(dev, prepare_reads(batch_arr, k))
                 # rkmer.hpp lacks the human collapse (rand_read_label shares
                 # the loop but scores raw taxids)
@@ -64,7 +64,9 @@ class RandReadLabeler:
                 return (raw, pres["found_cnt"], pres["n_cand"],
                         pres["valid_kmers"], pres["overflow"])
 
-            self._step = jax.jit(step)
+            import functools
+
+            self._step = functools.partial(jax.jit(step), dev)
 
     def gc_ranges(self, num_bins=None):
         """Bin GC ranges as computed at rand_read_label.cpp:668-685."""

@@ -26,7 +26,9 @@ import numpy as np
 from ..core.encoding import device_ascii_to_codes, device_canonical_kmers
 
 
-def pad_batch(seqs: list, pad_to: int | None = None, multiple: int = 128):
+def pad_batch(seqs: list, pad_to: int | None = None, multiple: int = 32):
+    # default pad multiple 32 (was 128): every padded window is a wasted
+    # probe query, and short-read batches pay ~25% for the coarser rounding
     """Pack python strings into a [B, L] uint8 array (zero padded)."""
     B = len(seqs)
     maxlen = max((len(s) for s in seqs), default=1)
@@ -56,13 +58,27 @@ def prepare_reads(batch, k: int):
     P = L - k + 1
     hi, lo, wvalid = device_canonical_kmers(codes, bvalid, k)
 
-    # duplicate = same canonical kmer at an earlier valid window
-    eq = (hi[:, :, None] == hi[:, None, :]) & (lo[:, :, None] == lo[:, None, :])
-    earlier = (
-        jnp.arange(P, dtype=jnp.int32)[None, :] < jnp.arange(P, dtype=jnp.int32)[:, None]
-    )  # [i, j] True where j < i
-    dup = jnp.any(eq & earlier[None, :, :] & wvalid[:, None, :], axis=-1) & wvalid
-    qvalid = wvalid & ~dup
+    # duplicate = same canonical kmer at an earlier valid window.  Sort-based:
+    # the naive pairwise form is an O(B*P^2) broadcast compare (230M elements
+    # at P=237) that dominates the whole device step; two [B,P] sorts cost
+    # ~1% of that.  Invalid windows get an all-ones sentinel key (canonical
+    # lanes never reach it: hi < 2^(2k-20)), so within a (hi,lo) group the
+    # pos key makes the earliest valid window the group head.
+    import jax
+
+    SENT = jnp.uint32(0xFFFFFFFF)
+    khi = jnp.where(wvalid, hi, SENT)
+    klo = jnp.where(wvalid, lo, SENT)
+    posP = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None, :], (B, P))
+    khi_s, klo_s, pos_s = jax.lax.sort((khi, klo, posP), dimension=1, num_keys=3)
+    same_prev = jnp.concatenate(
+        [jnp.zeros((B, 1), bool),
+         (khi_s[:, 1:] == khi_s[:, :-1]) & (klo_s[:, 1:] == klo_s[:, :-1])],
+        axis=1,
+    ) & (khi_s != SENT)
+    _, dup = jax.lax.sort((pos_s, same_prev.astype(jnp.int32)), dimension=1,
+                          num_keys=1)
+    qvalid = wvalid & ~dup.astype(bool)
 
     # GC statistics: bases inside runs with >= k consecutive valid bases,
     # i.e. bases covered by at least one valid window
@@ -113,18 +129,19 @@ class DevicePipeline:
     def __post_init__(self):
         import jax
 
-        def fn(batch):
-            return probe(self.dev_index, prepare_reads(batch, self.k))
+        # dev_index passes as a jit argument (pytree), not a closure constant
+        def fn(dev_index, batch):
+            return probe(dev_index, prepare_reads(batch, self.k))
 
-        self._fn = jax.jit(fn)
+        self._jit = jax.jit(fn)
 
     def __call__(self, batch):
-        return self._fn(batch)
+        return self._jit(self.dev_index, batch)
 
     def lookups_for_epilogue(self, batch_np, n_reads=None):
         """Run the pipeline and convert to per-read per-position lookup lists
         consumed by the reference-exact host epilogue."""
-        out = self._fn(batch_np)
+        out = self._jit(self.dev_index, batch_np)
         found = np.asarray(out["found"])
         ng = np.asarray(out["ng"])
         tids = np.asarray(out["tids"])

@@ -39,7 +39,11 @@ class FastClassifier:
 
         import jax.numpy as jnp
 
-        def step(batch, gc_bins):
+        idx16 = self._init_node_tab(scorer)
+
+        # dev_index is a jit ARGUMENT (DeviceIndex is a pytree): capturing the
+        # tables in the closure would embed them as HLO constants
+        def step(dev_index, batch, gc_bins):
             prep = prepare_reads(batch, k)
             pr = probe(dev_index, prep)
             # GC bins come from the host: TPU f32 division is not IEEE
@@ -62,43 +66,64 @@ class FastClassifier:
                  out["top_score"], out["phix_score"]],
                 axis=1,
             )
-            return ints, flts, out["tid_sorted"], out["score_sorted"], out["overflow"]
+            cs = out["cand_sorted"]
+            cs = cs.astype(jnp.uint16) if idx16 else cs
+            return ints, flts, cs, out["score_sorted"], out["overflow"]
 
         from ..core.encoding import host_gc_bins
 
         jit_step = jax.jit(step)
 
         def run(batch_np):
-            return jit_step(batch_np, host_gc_bins(np.asarray(batch_np), k))
+            return jit_step(self.dev_index, batch_np,
+                            host_gc_bins(np.asarray(batch_np), k))
 
         self.step = run
         self.track_count: dict[int, int] = {}
         self.track_score: dict[int, F] = {}
         self.track_nomatch: dict[int, int] = {}
 
+    def _init_node_tab(self, scorer) -> bool:
+        """Node-index candidate transfer: raw taxids cost 4 B each; node
+        indices fit uint16 for taxonomies under 64k nodes and are mapped back
+        through this table on the host.  Returns whether uint16 fits."""
+        self._node_tab = np.concatenate(
+            [np.asarray(scorer.tids, np.int64).astype(np.int32),
+             np.zeros(8, np.int32)]
+        )
+        return scorer.n_nodes + 8 < (1 << 16)
+
+    # outstanding device_get fetches: each fetch pays the full host<->device
+    # round-trip latency, so on remote links several must be in flight for
+    # the transfer time (not the latency) to be the cost per batch
+    FETCH_DEPTH = 3
+
     def classify_stream(self, batches: list[list[tuple[str, str]]], out=None):
         """Pipelined classification over multiple batches.
 
-        Three overlapped stages: the device step for batch i+1 is dispatched
-        (async) while a fetch thread pulls batch i's results over the
-        host<->device link and the main thread formats batch i-1.  The fetch
-        round trip — not device compute — is the critical path on remote
-        links, so it gets its own thread."""
+        Overlapped stages: device steps are dispatched (async) ahead while up
+        to FETCH_DEPTH fetch threads pull completed batches over the
+        host<->device link and the main thread formats them in order.  The
+        fetch round trip — not device compute — is the critical path on
+        remote links, so it gets concurrent threads."""
         import jax
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         all_lines = []
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            fetch = None  # (reads, future of device_get result)
-            for reads in batches + [None]:
-                nxt = None
-                if reads is not None:
-                    dev_out = self.step(self.pad(reads))
-                    nxt = (reads, pool.submit(jax.device_get, dev_out))
-                if fetch is not None:
-                    p_reads, fut = fetch
+        with ThreadPoolExecutor(max_workers=self.FETCH_DEPTH) as pool:
+            pend = deque()  # (reads, future of device_get result), in order
+
+            def drain(keep):
+                while len(pend) > keep:
+                    p_reads, fut = pend.popleft()
                     all_lines.extend(self._format(p_reads, fut.result(), out))
-                fetch = nxt
+
+            for reads in batches:
+                dev_out = self.step(self.pad(reads))
+                pend.append((reads, pool.submit(jax.device_get, dev_out)))
+                drain(self.FETCH_DEPTH)
+            drain(0)
         return all_lines
 
     def classify_stream_native(self, batches, out, pad_to=None, fixed_rows=None):
@@ -106,24 +131,28 @@ class FastClassifier:
         writes the final byte stream to a binary sink; returns the read
         count.  Requires io.native_writer.native_available()."""
         import jax
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         n = 0
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            fetch = None
-            for reads in batches + [None]:
-                nxt = None
-                if reads is not None:
-                    dev_out = self.step(
-                        self.pad(reads, pad_to=pad_to, fixed_rows=fixed_rows)
-                    )
-                    nxt = (reads, pool.submit(jax.device_get, dev_out))
-                if fetch is not None:
-                    p_reads, fut = fetch
+        with ThreadPoolExecutor(max_workers=self.FETCH_DEPTH) as pool:
+            pend = deque()
+
+            def drain(keep):
+                nonlocal n
+                while len(pend) > keep:
+                    p_reads, fut = pend.popleft()
                     data = self.format_native(p_reads, fut.result())
                     out.write(data)
                     n += len(p_reads)
-                fetch = nxt
+
+            for reads in batches:
+                dev_out = self.step(
+                    self.pad(reads, pad_to=pad_to, fixed_rows=fixed_rows)
+                )
+                pend.append((reads, pool.submit(jax.device_get, dev_out)))
+                drain(self.FETCH_DEPTH)
+            drain(0)
         return n
 
     def pad(self, reads, pad_to=None, fixed_rows=None):
@@ -144,7 +173,8 @@ class FastClassifier:
         from ..io.native_writer import fmt_out_lines
 
         cfg = self.scorer.cfg
-        ints, flts, tid_sorted, score_sorted, overflow = jax.device_get(dev_out)
+        ints, flts, cand_sorted, score_sorted, overflow = jax.device_get(dev_out)
+        tid_sorted = self._node_tab[np.asarray(cand_sorted, np.int64)]
         assert int(overflow) == 0, (
             "capacity overflow: raise max_candidates (candidate table) or the "
             "router cap (sharded mode)")
@@ -175,7 +205,8 @@ class FastClassifier:
         cfg = self.scorer.cfg
         # one batched device_get: per-array fetches each pay a full
         # host<->device round trip, which dominates over remote links
-        ints, flts, tid_sorted, score_sorted, overflow = jax.device_get(dev_out)
+        ints, flts, cand_sorted, score_sorted, overflow = jax.device_get(dev_out)
+        tid_sorted = self._node_tab[np.asarray(cand_sorted, np.int64)]
         res = {
             "ints": ints.tolist(),
             "flts": flts.tolist(),

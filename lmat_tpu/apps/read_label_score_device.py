@@ -489,6 +489,9 @@ class DeviceScorer:
         bi = jnp.arange(B)[:, None]
         raw_c = pk[..., 5]
         tid_sorted = jnp.take_along_axis(raw_c, order, axis=1)
+        # node-index view of the sorted candidates: half the transfer bytes of
+        # raw taxids when the node count fits uint16 (host maps them back)
+        cand_sorted = jnp.take_along_axis(cand, order, axis=1)
         score_sorted = jnp.take_along_axis(score, order, axis=1)
         call_tid = jnp.take(self.node_pack[:, 5], res["call_idx"], mode="clip")
 
@@ -498,6 +501,7 @@ class DeviceScorer:
             "valid_kmers": valid_kmers, "log_avg": log_avg, "stdev": stdev,
             "top_score": top_score, "fnd_phix": fnd_phix, "phix_score": phix_score,
             "overflow": overflow, "tid_sorted": tid_sorted,
+            "cand_sorted": cand_sorted,
             "score_sorted": score_sorted, "call_tid": call_tid, **res,
         }
 

@@ -54,6 +54,7 @@ class ShardedFastClassifier(FastClassifier):
         lookup = make_sharded_lookup(mesh, sidx, q_per_device=q_per_dev,
                                      cap=cap)
         self._data_sharding = NamedSharding(mesh, P(("data", "db")))
+        idx16 = self._init_node_tab(scorer)
 
         def step(batch_arr, gc_bins):
             prep = prepare_reads(batch_arr, k)
@@ -85,7 +86,9 @@ class ShardedFastClassifier(FastClassifier):
             )
             # route-capacity overflow aborts like candidate overflow
             ovf = jnp.maximum(out["overflow"], overflow)
-            return ints, flts, out["tid_sorted"], out["score_sorted"], ovf
+            cs = out["cand_sorted"]
+            cs = cs.astype(jnp.uint16) if idx16 else cs
+            return ints, flts, cs, out["score_sorted"], ovf
 
         jitted = jax.jit(step)
         self._read_len = read_len

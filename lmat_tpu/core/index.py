@@ -279,12 +279,73 @@ class KmerIndex:
         }
         return tables, arena_shape
 
-    def to_device(self, device=None, dense_lists: bool | None = None):
-        """Upload the packed row tables (see packed_tables) to the device."""
+    # direct bucket-row layout: one gather fetches a whole bucket (sorted
+    # suffixes + kmer ids interleaved), replacing the bucket_tab gather and
+    # every binary-search step.  MEASURED SLOWER than the windowed probe on
+    # v5e (30.4 vs 14.7 ms at B=2048 on the 4M-kmer bench DB): the padded
+    # [n_buckets, 2R] table is ~8x larger than the window tables and the
+    # gather engine pays for the lost locality, outweighing the saved issue.
+    # Kept as an opt-in (layout="direct") for geometries with tiny tables;
+    # "auto" always picks the windowed layout.
+    _DIRECT_RMAX = 64
+    _DIRECT_LIMIT = 2 << 30
+
+    def direct_tables(self):
+        """Repack into the direct bucket-row layout, or return None when the
+        geometry does not fit (deep buckets / memory blow-up).
+
+        Returns (bucket_rows [n_buckets, 2R] uint32, R): row r holds bucket
+        r's sorted suffixes in [:R] (0xFFFFFFFF padded) and the matching
+        global k-mer ids in [R:].
+        """
+        bs = self.bucket_start.astype(np.int64)
+        counts = np.diff(bs)
+        max_b = int(counts.max()) if counts.size else 0
+        R = 8
+        while R < max_b:
+            R *= 2
+        nb = len(counts)
+        if max_b > self._DIRECT_RMAX or nb * 2 * R * 4 > self._DIRECT_LIMIT:
+            return None
+        rows = np.full((nb, 2 * R), 0xFFFFFFFF, np.uint32)
+        pos = np.repeat(bs[:-1], counts)
+        col = np.arange(len(pos)) - np.repeat(np.cumsum(counts) - counts, counts)
+        bi = np.repeat(np.arange(nb), counts)
+        rows[bi, col] = self.suffix
+        rows[bi, R + col] = np.arange(self.n_kmers, dtype=np.uint32)
+        return rows, R
+
+    def to_device(self, device=None, dense_lists: bool | None = None,
+                  layout: str = "auto"):
+        """Upload the packed row tables (see packed_tables) to the device.
+
+        layout: "auto" (= "window", the measured-faster probe) or "direct"
+        to force the single-gather bucket-row probe (see _DIRECT_RMAX note).
+        """
         import jax
 
-        tables, arena_shape = self.packed_tables(dense_lists)
         put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
+        direct = None
+        if layout == "direct":
+            direct = self.direct_tables()
+            if direct is None:
+                raise ValueError("index geometry does not fit the direct layout")
+        tables, arena_shape = self.packed_tables(dense_lists)
+        if direct is not None:
+            bucket_rows, R = direct
+            return DeviceIndex(
+                k=self.k,
+                bucket_tab=None,
+                suffix_over=None,
+                rec=put(tables["rec"]),
+                arena=put(tables["arena"]),
+                max_tids=self.max_tids,
+                search_depth=self.search_depth,
+                arena_mode=arena_shape,
+                conv_table=put(self.conv_table) if self.conv_table is not None else None,
+                bucket_rows=put(bucket_rows),
+                direct_r=R,
+            )
         return DeviceIndex(
             k=self.k,
             bucket_tab=put(tables["bucket_tab"]),
@@ -300,7 +361,11 @@ class KmerIndex:
 
 @dataclass
 class DeviceIndex:
-    """Device-resident row tables + the XLA probe (see KmerIndex.to_device)."""
+    """Device-resident row tables + the XLA probe (see KmerIndex.to_device).
+
+    Registered as a jax pytree so it can be passed as a jit ARGUMENT:
+    closure-capturing multi-hundred-MB tables embeds them as HLO constants,
+    which bloats programs and breaks remote-compile size limits."""
 
     k: int
     bucket_tab: object
@@ -311,6 +376,8 @@ class DeviceIndex:
     search_depth: int
     arena_mode: tuple = ("dense", 0)
     conv_table: object = None
+    bucket_rows: object = None  # direct layout (see KmerIndex.direct_tables)
+    direct_r: int = 0
 
     def lookup(self, hi, lo, valid):
         """Probe a batch of k-mers.
@@ -321,16 +388,53 @@ class DeviceIndex:
         """
         import jax.numpy as jnp
 
-        found, ngv, tids, tmask = probe_packed(
-            self.bucket_tab, self.suffix_over, self.rec, self.arena,
-            self.arena_mode, self.search_depth, self.max_tids,
-            hi.astype(jnp.int32), lo, valid,
-        )
+        if self.bucket_rows is not None:
+            found, ngv, tids, tmask = probe_direct(
+                self.bucket_rows, self.direct_r, self.rec, self.arena,
+                self.arena_mode, self.max_tids,
+                hi.astype(jnp.int32), lo, valid,
+            )
+        else:
+            found, ngv, tids, tmask = probe_packed(
+                self.bucket_tab, self.suffix_over, self.rec, self.arena,
+                self.arena_mode, self.search_depth, self.max_tids,
+                hi.astype(jnp.int32), lo, valid,
+            )
         if self.conv_table is not None:
             # 16-bit compacted arena: convert back through the id table
             tids = jnp.take(self.conv_table, tids.astype(jnp.int32), mode="clip")
             tids = jnp.where(tmask, tids, jnp.uint32(0))
         return found, ngv, tids, tmask
+
+
+def _di_flatten(d):
+    children = (d.bucket_tab, d.suffix_over, d.rec, d.arena, d.conv_table,
+                d.bucket_rows)
+    aux = (d.k, d.max_tids, d.search_depth, d.arena_mode, d.direct_r)
+    return children, aux
+
+
+def _di_unflatten(aux, children):
+    k, max_tids, search_depth, arena_mode, direct_r = aux
+    bucket_tab, suffix_over, rec, arena, conv_table, bucket_rows = children
+    return DeviceIndex(
+        k=k, bucket_tab=bucket_tab, suffix_over=suffix_over, rec=rec,
+        arena=arena, max_tids=max_tids, search_depth=search_depth,
+        arena_mode=arena_mode, conv_table=conv_table,
+        bucket_rows=bucket_rows, direct_r=direct_r,
+    )
+
+
+def _register_device_index():
+    import jax
+
+    jax.tree_util.register_pytree_node(DeviceIndex, _di_flatten, _di_unflatten)
+
+
+try:  # jax is always present in this environment; guard for doc tooling
+    _register_device_index()
+except ImportError:  # pragma: no cover
+    pass
 
 
 def probe_packed(bucket_tab, suffix_over, rec, arena, arena_mode, search_depth,
@@ -381,6 +485,14 @@ def probe_packed(bucket_tab, suffix_over, rec, arena, arena_mode, search_depth,
     found = valid & jnp.any(hit, axis=-1)
     pos = (r << lgw) + jnp.argmax(hit, axis=-1).astype(jnp.int32)
 
+    return _fetch_record(rec, arena, arena_mode, max_tids, pos, found)
+
+
+def _fetch_record(rec, arena, arena_mode, max_tids, pos, found):
+    """Fetch the (meta | taxid list) record for k-mer id ``pos`` (one row
+    gather in the dense layout); shared by both probe variants."""
+    import jax.numpy as jnp
+
     MT = max_tids
     if arena_mode[0] == "dense":
         row = jnp.take(arena, pos, axis=0, mode="clip")  # [..., 1+MT]
@@ -407,3 +519,24 @@ def probe_packed(bucket_tab, suffix_over, rec, arena, arena_mode, search_depth,
     tmask = (jnp.arange(MT, dtype=jnp.int32) < count[..., None]) & found[..., None]
     tids = jnp.where(tmask, rows, jnp.uint32(0))
     return found, ngv, tids, tmask
+
+
+def probe_direct(bucket_rows, R, rec, arena, arena_mode, max_tids, b, lo, valid):
+    """Direct bucket-row probe: ONE row gather fetches bucket b's sorted
+    suffixes and k-mer ids together, so no bucket_tab gather and no binary
+    search steps remain (vs probe_packed's three gathers + steps).  The
+    record fetch (second gather) is shared with probe_packed.
+
+    b: int32 bucket id [...]; lo: uint32 suffix; valid: bool.
+    """
+    import jax.numpy as jnp
+
+    row = jnp.take(bucket_rows, b, axis=0, mode="clip")  # [..., 2R]
+    suf = row[..., :R]
+    hit = (suf == lo.astype(jnp.uint32)[..., None]) & valid[..., None]
+    found = jnp.any(hit, axis=-1)
+    # suffixes are unique within a bucket, so `hit` is one-hot: the id select
+    # is a masked sum (elementwise + reduce; no serial take_along_axis)
+    ids = row[..., R:]
+    pos = jnp.sum(jnp.where(hit, ids, jnp.uint32(0)), axis=-1).astype(jnp.int32)
+    return _fetch_record(rec, arena, arena_mode, max_tids, pos, found)
