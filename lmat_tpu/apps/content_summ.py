@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..core.encoding import ReadKmers
+from ..core.encoding import _CODE_LUT
 from ..io.cppfmt import fmt_float
 
 F = np.float32
@@ -69,10 +69,13 @@ class ContentSummarizer:
         self.read_cnts: dict[int, int] = {}
         self.clst: list[int] = []
         self.strain2spec: dict[int, int] = {}
-        # k -> taxid -> {kmer -> read count}
-        self.kmer_track: dict[int, dict[int, dict[int, int]]] = {
+        # k -> taxid -> [uint64 arrays of per-read-distinct k-mers]
+        self.kmer_track: dict[int, dict[int, list]] = {
             k: {} for k in opts.k_list
         }
+        self._pending: list[tuple[int, bytes]] = []  # (use_tid, read)
+        self._pool = None
+        self._futures: list = []
 
     # -- fastsummary load (content_summ.cpp:349-382) -----------------------
 
@@ -138,21 +141,123 @@ class ContentSummarizer:
                 if rnk in rank_check or is_plasmid(taxid, opts.low_num_plasmids):
                     self._store_kmers(read, use_tid)
 
+    # flush granularity: the row tag must fit alongside the 2k k-mer bits in
+    # 64 bits; 16k reads per flush keeps every k <= 24 safe and the padded
+    # [N, Lmax] work matrices small
+    _FLUSH = 1 << 14
+
     def _store_kmers(self, read: str, use_tid: int):
-        # per-(k, taxid) k-mer observations accumulate as raw arrays; the
-        # distinct/histogram reduction happens once per taxon in
-        # _comp_kmer_cov via np.unique (no per-k-mer Python)
-        b = read.encode()
+        # buffer the read; the multi-k distinct-k-mer counting runs batched
+        # over thousands of reads at once (content_summ.cpp:116-155 does this
+        # per read per k in an OpenMP loop — here the batches are vectorized
+        # passes dispatched to a thread pool: NumPy releases the GIL, so the
+        # flushes parallelize across cores like the reference's OpenMP loop)
+        self._pending.append((use_tid, read.encode()))
+        if len(self._pending) >= self._FLUSH:
+            self._dispatch_flush()
+
+    def _dispatch_flush(self):
+        pending, self._pending = self._pending, []
+        if not pending:
+            return
+        if self._pool is None:
+            import os as _os
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=_os.cpu_count() or 2)
+            self._futures = []
+        self._futures.append(self._pool.submit(self._flush_batch, pending))
+
+    def _flush(self):
+        """Collect all dispatched flushes into kmer_track (main thread)."""
+        self._dispatch_flush()
+        if self._pool is None:
+            return
+        for fut in self._futures:
+            for k, tid_val, chunk in fut.result():
+                self.kmer_track[k].setdefault(tid_val, []).append(chunk)
+        self._futures = []
+
+    def _flush_batch(self, pending):
+        """Batched multi-k distinct-k-mer extraction over one read buffer.
+
+        One padded [N, Lmax] code matrix; kmax windows are built once by
+        doubling (log2(kmax) combine steps); each smaller k is a shift/mask
+        of the kmax window.  A single tagged np.unique
+        ((read_row << 2k) | kmer) per k performs the within-read dedup that
+        the reference's per-read set insertion does (content_summ.cpp:130-147).
+        Pure function: returns [(k, tid, kmer_array)] for the main thread.
+        """
+        # group rows by taxid up front: unique's sorted output is then
+        # already taxid-grouped (row is the tag's high bits), no argsort
+        pending.sort(key=lambda p: p[0])
+        tids = np.array([t for t, _ in pending], np.int64)
+        reads = [r for _, r in pending]
+        N = len(reads)
+        lens = np.array([len(r) for r in reads], np.int64)
+        Lmax = int(lens.max()) if N else 0
+        kmax = max(self.opts.k_list)
+        mat = np.zeros((N, Lmax + kmax), np.uint8)  # 0-pad decodes as invalid
+        for i, r in enumerate(reads):
+            mat[i, : lens[i]] = np.frombuffer(r, np.uint8)
+        codes = _CODE_LUT[mat]
+        valid = codes != 255
+        c = (codes & np.uint8(3)).astype(np.uint64)
+        cs = np.zeros((N, Lmax + kmax + 1), np.int64)
+        np.cumsum(valid, axis=1, out=cs[:, 1:])
+
+        # kmax-wide windows by doubling: W_{j+s}(p) = W_j(p)<<2s | W_s(p+j)
+        # where W_s is a prefix (fwd: >> 2(j-s); rev: & mask(2s)) — O(log k)
+        # combine steps instead of k per-base passes
+        L2 = Lmax + kmax
+        fwd = c.copy()
+        rev = c ^ np.uint64(3)
+        width = 1
+        while width < kmax:
+            s = min(width, kmax - width)
+            # W_s is a prefix of the current width-wide window
+            pf = fwd if s == width else (fwd >> np.uint64(2 * (width - s)))
+            pr = rev if s == width else (rev & np.uint64((1 << (2 * s)) - 1))
+            nf = fwd << np.uint64(2 * s)  # fresh buffers: pf/pr view the old
+            nf[:, : L2 - width] |= pf[:, width:]
+            nr = rev.copy()
+            nr[:, : L2 - width] |= pr[:, width:] << np.uint64(2 * width)
+            fwd, rev = nf, nr
+            width += s
+        P = Lmax
+        fwd = fwd[:, :P]
+        rev = rev[:, :P]
+
+        out = []
         for k in self.opts.k_list:
-            if len(b) < k:
+            if Lmax - k + 1 <= 0:
                 continue
-            rk = ReadKmers(b, k)
-            sel = rk.valid & ~rk.is_dup
-            self.kmer_track[k].setdefault(use_tid, []).append(rk.kmers[sel])
+            assert 2 * k + int(N - 1).bit_length() <= 64
+            # k-mer at p = first k bases of the kmax window at p
+            fk = fwd >> np.uint64(2 * (kmax - k))
+            rk = rev & np.uint64((1 << (2 * k)) - 1)
+            can = np.minimum(fk, rk)
+            wv = (cs[:, k : k + P] - cs[:, :P]) == k
+            row = np.broadcast_to(
+                np.arange(N, dtype=np.uint64)[:, None] << np.uint64(2 * k),
+                can.shape,
+            )
+            uniq = np.unique((row | can)[wv])
+            rows = (uniq >> np.uint64(2 * k)).astype(np.int64)
+            kmers = uniq & np.uint64((1 << (2 * k)) - 1)
+            # rows ascend and tids[rows] is non-decreasing (pending sorted):
+            # taxid group boundaries via searchsorted, no sort needed
+            t = tids[rows]
+            bounds = np.nonzero(np.diff(t))[0] + 1
+            starts = np.concatenate([[0], bounds]) if t.size else []
+            for st, chunk in zip(starts, np.split(kmers, bounds)):
+                out.append((k, int(t[st]), chunk))
+        return out
 
     # -- output (content_summ.cpp:442-571) ---------------------------------
 
     def write_summ(self, ofbase: str):
+        self._flush()
         tax = self.tax
         opts = self.opts
         seen = set()

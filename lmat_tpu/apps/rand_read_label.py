@@ -138,7 +138,7 @@ class RandReadLabeler:
             raw, found, n_cand, valid, overflow = jax.device_get(
                 self._step(pad_batch(seqs, pad_to=pad_to))
             )
-            assert int(overflow) == 0, "raise max_candidates"
+            assert int(np.max(overflow)) == 0, "raise max_candidates"
             for i, (_, gc_bucket) in enumerate(chunk):
                 vk = int(valid[i])
                 if vk <= 0:

@@ -68,7 +68,10 @@ class FastClassifier:
             )
             cs = out["cand_sorted"]
             cs = cs.astype(jnp.uint16) if idx16 else cs
-            return ints, flts, cs, out["score_sorted"], out["overflow"]
+            # out["overflow"] is per-read ([B]); the trailing scalar is the
+            # router-capacity overflow slot (always 0 single-chip — the
+            # sharded subclass fills it)
+            return ints, flts, cs, out["score_sorted"], out["overflow"], jnp.int32(0)
 
         from ..core.encoding import host_gc_bins
 
@@ -79,9 +82,33 @@ class FastClassifier:
                             host_gc_bins(np.asarray(batch_np), k))
 
         self.step = run
+        self.fallback = None
         self.track_count: dict[int, int] = {}
         self.track_score: dict[int, F] = {}
         self.track_nomatch: dict[int, int] = {}
+
+    def set_fallback(self, host_clf):
+        """Attach the exact host-path classifier used for reads whose
+        candidate set overflows the device table (the reference has no cap:
+        read_label.cpp:693-726).  The host classifier's tally dicts are
+        aliased to ours so fastsummary accumulation stays in read order."""
+        host_clf.track_count = self.track_count
+        host_clf.track_score = self.track_score
+        host_clf.track_nomatch = self.track_nomatch
+        self.fallback = host_clf
+
+    def _resolve_router(self, reads, vals):
+        """Hook for router-capacity overflow (sharded subclass re-runs the
+        batch with a doubled cap); single-chip steps never set the slot."""
+        return vals
+
+    def _overflow_line(self, i, hdr, seq):
+        """Classify one overflowing read through the exact host path."""
+        if self.fallback is None:
+            raise RuntimeError(
+                "candidate-table overflow and no exact-path fallback is "
+                "attached: raise max_candidates or call set_fallback()")
+        return self.fallback.classify(hdr, seq)
 
     def _init_node_tab(self, scorer) -> bool:
         """Node-index candidate transfer: raw taxids cost 4 B each; node
@@ -143,6 +170,13 @@ class FastClassifier:
                 while len(pend) > keep:
                     p_reads, fut = pend.popleft()
                     data = self.format_native(p_reads, fut.result())
+                    if data is None:
+                        # native formatter unavailable or overflow reroute:
+                        # Python path (handles the exact-path fallback)
+                        lines = self._format(p_reads, fut.result())
+                        data = "".join(
+                            l if l.endswith("\t") else l + "\n" for l in lines
+                        ).encode()
                     out.write(data)
                     n += len(p_reads)
 
@@ -173,11 +207,14 @@ class FastClassifier:
         from ..io.native_writer import fmt_out_lines
 
         cfg = self.scorer.cfg
-        ints, flts, cand_sorted, score_sorted, overflow = jax.device_get(dev_out)
+        vals = self._resolve_router(reads, jax.device_get(dev_out))
+        ints, flts, cand_sorted, score_sorted, overflow, _ = vals
+        if int(np.max(overflow)) > 0:
+            # rare: some reads overflowed the candidate table — take the
+            # Python format path, which reroutes just those reads through
+            # the exact host classifier
+            return None
         tid_sorted = self._node_tab[np.asarray(cand_sorted, np.int64)]
-        assert int(overflow) == 0, (
-            "capacity overflow: raise max_candidates (candidate table) or the "
-            "router cap (sharded mode)")
         res = fmt_out_lines(
             ints, flts, tid_sorted, score_sorted, reads,
             self.k, cfg.min_kmer, cfg.min_fnd_kmer, cfg.screen_phix,
@@ -205,7 +242,8 @@ class FastClassifier:
         cfg = self.scorer.cfg
         # one batched device_get: per-array fetches each pay a full
         # host<->device round trip, which dominates over remote links
-        ints, flts, cand_sorted, score_sorted, overflow = jax.device_get(dev_out)
+        vals = self._resolve_router(reads, jax.device_get(dev_out))
+        ints, flts, cand_sorted, score_sorted, overflow, _ = vals
         tid_sorted = self._node_tab[np.asarray(cand_sorted, np.int64)]
         res = {
             "ints": ints.tolist(),
@@ -213,12 +251,16 @@ class FastClassifier:
             "tid": tid_sorted.tolist(),
             "score": score_sorted.tolist(),
         }
-        assert int(overflow) == 0, (
-            "capacity overflow: raise max_candidates (candidate table) or the "
-            "router cap (sharded mode)")
+        ovf = np.asarray(overflow)
         lines = []
         for i, (hdr, seq) in enumerate(reads):
-            line = f"{hdr}\t{seq}\t" + self._finish_read(i, seq, res, cfg)
+            if ovf[i] > 0:
+                # graceful degrade: this read's candidate set exceeded the
+                # device table — classify it on the exact host path (which
+                # has no cap), keeping tally updates in read order
+                line = self._overflow_line(i, hdr, seq)
+            else:
+                line = f"{hdr}\t{seq}\t" + self._finish_read(i, seq, res, cfg)
             lines.append(line)
         if out is not None:
             # reference quirk: reads rejected inside construct_labels leave

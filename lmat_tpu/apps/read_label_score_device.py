@@ -247,7 +247,10 @@ class DeviceScorer:
             out = jnp.where(jnp.any(oh, axis=1), out, SENTINEL)
             total = jnp.max(pos, axis=1) + 1
             n = jnp.minimum(total, C)
-            return out, n, jnp.max(jnp.maximum(total - C, 0))
+            # per-read overflow count: lets the host reroute just the
+            # affected reads through the exact path (the reference has no
+            # candidate cap at all — read_label.cpp:693-726)
+            return out, n, jnp.maximum(total - C, 0)
 
         flat1 = jnp.where(tmask, tids, SENTINEL).reshape(B, P * T)
         cand1, n1, ovf1 = unique_cap(flat1)

@@ -44,17 +44,37 @@ class ShardedFastClassifier(FastClassifier):
         self.min_score = min_score
         self.mesh = mesh
         self.batch = batch
+        self.sidx = sidx
         n_dev = mesh.size
         assert batch % n_dev == 0, "batch must divide the mesh size"
 
+        P_pos = read_len - k + 1
+        self._q_per_dev = batch * P_pos // n_dev
+        self._data_sharding = NamedSharding(mesh, P(("data", "db")))
+        self._idx16 = self._init_node_tab(scorer)
+        self._read_len = read_len
+        self._runs = {}
+        self._cap = cap if cap is not None else self._q_per_dev
+        self.step = self._build_run(self._cap)
+        self.fallback = None
+        self.track_count = {}
+        self.track_score = {}
+        self.track_nomatch = {}
+
+    def _build_run(self, cap):
+        """Jit the full sharded step for one router cap (cached per cap so
+        the doubled-cap overflow retry compiles at most log2 extra shapes)."""
+        if cap in self._runs:
+            return self._runs[cap]
+        import jax
+        import jax.numpy as jnp
+
+        from ..core.encoding import host_gc_bins
         from .read_label_device import prepare_reads
 
-        P_pos = read_len - k + 1
-        q_per_dev = batch * P_pos // n_dev
-        lookup = make_sharded_lookup(mesh, sidx, q_per_device=q_per_dev,
-                                     cap=cap)
-        self._data_sharding = NamedSharding(mesh, P(("data", "db")))
-        idx16 = self._init_node_tab(scorer)
+        k, scorer, idx16 = self.k, self.scorer, self._idx16
+        lookup = make_sharded_lookup(self.mesh, self.sidx,
+                                     q_per_device=self._q_per_dev, cap=cap)
 
         def step(batch_arr, gc_bins):
             prep = prepare_reads(batch_arr, k)
@@ -84,28 +104,36 @@ class ShardedFastClassifier(FastClassifier):
                  out["top_score"], out["phix_score"]],
                 axis=1,
             )
-            # route-capacity overflow aborts like candidate overflow
-            ovf = jnp.maximum(out["overflow"], overflow)
             cs = out["cand_sorted"]
             cs = cs.astype(jnp.uint16) if idx16 else cs
-            return ints, flts, cs, out["score_sorted"], ovf
+            # per-read candidate overflow + scalar router-capacity overflow
+            # (the latter triggers a doubled-cap re-run on the host)
+            return ints, flts, cs, out["score_sorted"], out["overflow"], overflow
 
         jitted = jax.jit(step)
-        self._read_len = read_len
-
-        from ..core.encoding import host_gc_bins
 
         def run(batch_np):
             arr = jax.device_put(batch_np, self._data_sharding)
             bins = jax.device_put(
-                host_gc_bins(np.asarray(batch_np), k), self._data_sharding
+                host_gc_bins(np.asarray(batch_np), self.k), self._data_sharding
             )
             return jitted(arr, bins)
 
-        self.step = run
-        self.track_count = {}
-        self.track_score = {}
-        self.track_nomatch = {}
+        self._runs[cap] = run
+        return run
+
+    def _resolve_router(self, reads, vals):
+        """Router-capacity overflow degrade path: re-run the batch with a
+        doubled cap (up to the q_per_device safe bound, at which overflow is
+        impossible) instead of aborting."""
+        import jax
+
+        while int(vals[5]) > 0:
+            assert self._cap < self._q_per_dev, "router overflow at safe cap"
+            self._cap = min(self._cap * 2, self._q_per_dev)
+            run = self._build_run(self._cap)
+            vals = jax.device_get(run(self.pad(reads)))
+        return vals
 
     def pad(self, reads, pad_to=None, fixed_rows=None):
         return super().pad(reads, pad_to=self._read_len,

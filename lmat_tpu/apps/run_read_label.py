@@ -49,6 +49,10 @@ def run(args) -> Classifier:
     mode = getattr(args, "mode", "exact") or "exact"
     if mode == "fast":
         clf = _make_fast(tax, index, args, null)
+        # graceful overflow degrade: reads whose candidate set exceeds the
+        # device table reroute through the exact host path (which has no
+        # cap, like the reference — read_label.cpp:693-726)
+        clf.set_fallback(Classifier(tax, index, opts, null_model=null))
     else:
         clf = Classifier(tax, index, opts, null_model=null)
     n_shards = getattr(args, "shards", 1) or 1
