@@ -102,6 +102,14 @@ class FastClassifier:
         batch with a doubled cap); single-chip steps never set the slot."""
         return vals
 
+    def _fetch(self, dev_out):
+        """Device->host transfer of a step result.  The multi-host subclass
+        overrides this to pull only the process-local rows (a global array
+        is not fully addressable from one process)."""
+        import jax
+
+        return jax.device_get(dev_out)
+
     def _overflow_line(self, i, hdr, seq):
         """Classify one overflowing read through the exact host path."""
         if self.fallback is None:
@@ -148,7 +156,7 @@ class FastClassifier:
 
             for reads in batches:
                 dev_out = self.step(self.pad(reads))
-                pend.append((reads, pool.submit(jax.device_get, dev_out)))
+                pend.append((reads, pool.submit(self._fetch, dev_out)))
                 drain(self.FETCH_DEPTH)
             drain(0)
         return all_lines
@@ -184,7 +192,7 @@ class FastClassifier:
                 dev_out = self.step(
                     self.pad(reads, pad_to=pad_to, fixed_rows=fixed_rows)
                 )
-                pend.append((reads, pool.submit(jax.device_get, dev_out)))
+                pend.append((reads, pool.submit(self._fetch, dev_out)))
                 drain(self.FETCH_DEPTH)
             drain(0)
         return n
@@ -207,7 +215,7 @@ class FastClassifier:
         from ..io.native_writer import fmt_out_lines
 
         cfg = self.scorer.cfg
-        vals = self._resolve_router(reads, jax.device_get(dev_out))
+        vals = self._resolve_router(reads, self._fetch(dev_out))
         ints, flts, cand_sorted, score_sorted, overflow, _ = vals
         if int(np.max(overflow)) > 0:
             # rare: some reads overflowed the candidate table — take the
@@ -242,7 +250,7 @@ class FastClassifier:
         cfg = self.scorer.cfg
         # one batched device_get: per-array fetches each pay a full
         # host<->device round trip, which dominates over remote links
-        vals = self._resolve_router(reads, jax.device_get(dev_out))
+        vals = self._resolve_router(reads, self._fetch(dev_out))
         ints, flts, cand_sorted, score_sorted, overflow, _ = vals
         tid_sorted = self._node_tab[np.asarray(cand_sorted, np.int64)]
         res = {

@@ -69,7 +69,6 @@ class ShardedFastClassifier(FastClassifier):
         import jax
         import jax.numpy as jnp
 
-        from ..core.encoding import host_gc_bins
         from .read_label_device import prepare_reads
 
         k, scorer, idx16 = self.k, self.scorer, self._idx16
@@ -110,29 +109,42 @@ class ShardedFastClassifier(FastClassifier):
             # (the latter triggers a doubled-cap re-run on the host)
             return ints, flts, cs, out["score_sorted"], out["overflow"], overflow
 
-        jitted = jax.jit(step)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # explicit out shardings: per-read rows over ("data","db") so every
+        # process can fetch exactly its own rows; router overflow replicated
+        rows = NamedSharding(self.mesh, P(("data", "db")))
+        repl = NamedSharding(self.mesh, P())
+        jitted = jax.jit(step, out_shardings=(rows, rows, rows, rows, rows, repl))
 
         def run(batch_np):
-            arr = jax.device_put(batch_np, self._data_sharding)
-            bins = jax.device_put(
-                host_gc_bins(np.asarray(batch_np), self.k), self._data_sharding
-            )
-            return jitted(arr, bins)
+            return jitted(*self._stage_batch(batch_np))
 
         self._runs[cap] = run
         return run
+
+    def _stage_batch(self, batch_np):
+        """Host -> global device arrays; the multi-host subclass stages
+        process-local rows instead."""
+        import jax
+
+        from ..core.encoding import host_gc_bins
+
+        arr = jax.device_put(batch_np, self._data_sharding)
+        bins = jax.device_put(
+            host_gc_bins(np.asarray(batch_np), self.k), self._data_sharding
+        )
+        return arr, bins
 
     def _resolve_router(self, reads, vals):
         """Router-capacity overflow degrade path: re-run the batch with a
         doubled cap (up to the q_per_device safe bound, at which overflow is
         impossible) instead of aborting."""
-        import jax
-
         while int(vals[5]) > 0:
             assert self._cap < self._q_per_dev, "router overflow at safe cap"
             self._cap = min(self._cap * 2, self._q_per_dev)
             run = self._build_run(self._cap)
-            vals = jax.device_get(run(self.pad(reads)))
+            vals = self._fetch(run(self.pad(reads)))
         return vals
 
     def pad(self, reads, pad_to=None, fixed_rows=None):

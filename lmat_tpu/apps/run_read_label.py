@@ -57,6 +57,13 @@ def run(args) -> Classifier:
         clf = Classifier(tax, index, opts, null_model=null)
     n_shards = getattr(args, "shards", 1) or 1
     shard_id = getattr(args, "shard_id", 0) or 0
+    if getattr(args, "distributed", None):
+        # per-host outputs: the reference's per-thread .out files one level
+        # up; summaries merge via `report merge-fastsummary`
+        import jax
+
+        n_shards = jax.process_count()
+        shard_id = jax.process_index()
     base = f"{args.output}.{fmt_float(args.min_score) if args.min_score else '0'}.{args.min_kmer}"
     if n_shards > 1:
         # per-shard summaries; combine with `lmat-tpu report merge-fastsummary`
@@ -106,6 +113,37 @@ def _make_fast(tax, index, args, null):
         permissive=getattr(args, "permissive", False),
     )
     mesh_spec = getattr(args, "mesh", None)
+    dist = getattr(args, "distributed", None)
+    if dist:
+        # multi-host: "coordinator:port,num_processes,process_id"; --mesh
+        # gives the GLOBAL (data, db) shape over all processes' devices
+        from ..parallel.multihost import (
+            init_distributed,
+            make_global_mesh,
+            make_multihost_classifier,
+        )
+
+        coord, nproc, pid = dist.rsplit(",", 2)
+        init_distributed(coord, int(nproc), int(pid))
+        data, db = (int(x) for x in (mesh_spec or "0,0").split(","))
+        if not data:
+            import jax
+
+            db = len(jax.local_devices())
+            data = len(jax.devices()) // db
+        mesh = make_global_mesh(data, db)
+        maxlen = 1
+        for _, seq in iter_reads_lmat(args.reads, fastq=args.fastq):
+            maxlen = max(maxlen, len(seq))
+        read_len = 128
+        while read_len < maxlen:
+            read_len *= 2
+        _, clf = make_multihost_classifier(
+            mesh, index, tax, cfg, null_model=null, k=index.k,
+            min_score=args.min_score, batch=getattr(args, "batch", 0) or 512,
+            read_len=read_len,
+        )
+        return clf
     if mesh_spec:
         from ..parallel.mesh import make_mesh
         from .read_label_sharded import make_sharded_classifier
@@ -151,7 +189,28 @@ def _run_fast(clf, args, f, n_shards, shard_id) -> int:
             L *= 2
         return L
 
+    multihost = getattr(clf, "is_multihost", False)
+    B_rows = clf.local_rows if multihost else B
+
     def gen_batches():
+        if multihost:
+            # every process walks the same stream and keeps its contiguous
+            # row-block of each global batch; EVERY global batch must yield
+            # on every process (possibly an empty local block) because all
+            # processes must execute the same jitted steps in lockstep
+            per = clf.local_rows
+            lo, hi = shard_id * per, (shard_id + 1) * per
+            buf, r = [], -1
+            for i, (hdr, seq) in enumerate(iter_reads_lmat(args.reads, fastq=args.fastq)):
+                r = i % B
+                if r == 0 and i > 0:
+                    yield buf
+                    buf = []
+                if lo <= r < hi:
+                    buf.append((hdr or f"unknown_hdr:{i + 1}", seq))
+            if r >= 0:
+                yield buf
+            return
         buf = []
         for i, (hdr, seq) in enumerate(iter_reads_lmat(args.reads, fastq=args.fastq)):
             if n_shards > 1 and i % n_shards != shard_id:
@@ -182,9 +241,9 @@ def _run_fast(clf, args, f, n_shards, shard_id) -> int:
                 if b is None:
                     done = True
                 else:
-                    pad_to = ladder(max(len(s) for _, s in b))
-                    dev_out = clf.step(clf.pad(b, pad_to=pad_to, fixed_rows=B))
-                    nxt = (b, pool.submit(jax.device_get, dev_out))
+                    pad_to = ladder(max((len(s) for _, s in b), default=128))
+                    dev_out = clf.step(clf.pad(b, pad_to=pad_to, fixed_rows=B_rows))
+                    nxt = (b, pool.submit(clf._fetch, dev_out))
             if fetch is not None:
                 p_b, fut = fetch
                 data = clf.format_native(p_b, fut.result()) if use_native else None
@@ -219,6 +278,11 @@ def main(argv=None):
     ap.add_argument("-s", "--permissive", action="store_true")
     ap.add_argument("--mode", choices=("exact", "fast"), default="exact")
     ap.add_argument("--mesh", default=None, help='"data,db" multi-chip mesh for fast mode')
+    ap.add_argument(
+        "--distributed", default=None,
+        help='multi-host: "coordinator:port,num_processes,process_id" '
+             '(launch one process per host; --mesh is the GLOBAL shape)',
+    )
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--max-candidates", type=int, default=128)
     ap.add_argument("--shards", type=int, default=1, help="round-robin input sharding")

@@ -361,6 +361,9 @@ def main(argv=None):
     p.add_argument("--mesh", default=None,
                    help='"data,db" device mesh: shard the DB over chips with '
                         "all_to_all query routing (fast mode)")
+    p.add_argument("--distributed", default=None,
+                   help='multi-host: "coordinator:port,num_processes,process_id"; '
+                        "--mesh gives the GLOBAL shape over all hosts")
     p.add_argument("--max-candidates", type=int, default=128)
     p.add_argument("--shards", type=int, default=1)
     p.add_argument("--shard-id", type=int, default=0)
