@@ -29,6 +29,13 @@ L = int(os.environ.get("BENCH_READLEN", 200))
 N_BATCHES = int(os.environ.get("BENCH_BATCHES", 20))
 MAX_TIDS = 8
 BASELINE_READS_PER_SEC = 2317.0
+# workload: "mixed" = half random / half clade reads (the round-1 metric,
+# low cross-read duplication); "coverage" = reads sampled from a few organism
+# genomes at sequencing coverage (the realistic regime the reference's own
+# example models: deep reads over 3 organisms) — enables cross-read dedup
+WORKLOAD = os.environ.get("BENCH_WORKLOAD", "mixed")
+N_ORGS = int(os.environ.get("BENCH_ORGS", 10))
+DEDUP = float(os.environ.get("BENCH_DEDUP", 0) or 0)  # probe dedup cap frac
 
 
 def build_taxonomy():
@@ -122,6 +129,40 @@ def make_reads(kmers, groups, rng, n):
     return reads
 
 
+def make_genomes(kmers, groups, rng, n_org=10, g_kmers=500):
+    """Decode g_kmers DB k-mers per organism into one genome string each.
+
+    Reads sampled from these strings at coverage share windows across reads
+    (every overlapping read re-observes the same canonical k-mers), which is
+    what real sequencing looks like and what cross-read dedup exploits.
+    """
+    order, bounds = groups
+    n_species = bounds.shape[0] - 1
+    picks = rng.choice(n_species, size=n_org, replace=False)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    genomes = []
+    for s in picks:
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        js = order[rng.integers(lo, hi, size=g_kmers)]
+        seq = np.empty(g_kmers * K, np.uint8)
+        for m, j in enumerate(js):
+            km = int(kmers[j])
+            for t in range(K):
+                seq[m * K + t] = bases[(km >> (2 * (K - 1 - t))) & 3]
+        genomes.append(seq)
+    return genomes
+
+
+def make_reads_coverage(genomes, rng, n):
+    """n reads of length L drawn from random offsets of the genomes."""
+    reads = []
+    for i in range(n):
+        g = genomes[int(rng.integers(0, len(genomes)))]
+        off = int(rng.integers(0, max(1, len(g) - L)))
+        reads.append((f"r{i}", bytes(g[off : off + L]).decode()))
+    return reads
+
+
 def main():
     t_setup = time.time()
     import jax
@@ -141,10 +182,15 @@ def main():
     scorer = DeviceScorer(tax, cfg)
     remapped = scorer.remap_index_tids(idx)
     layout = os.environ.get("BENCH_LAYOUT", "auto")
-    fast = FastClassifier(remapped.to_device(layout=layout), scorer, k=K)
+    fast = FastClassifier(remapped.to_device(layout=layout), scorer, k=K,
+                          dedup_frac=DEDUP or None)
 
     rng = np.random.default_rng(99)
-    batches = [make_reads(kmers, groups, rng, B) for _ in range(N_BATCHES)]
+    if WORKLOAD == "coverage":
+        genomes = make_genomes(kmers, groups, rng, n_org=N_ORGS)
+        batches = [make_reads_coverage(genomes, rng, B) for _ in range(N_BATCHES)]
+    else:
+        batches = [make_reads(kmers, groups, rng, B) for _ in range(N_BATCHES)]
     fast.classify_batch(batches[0])  # warm/compile
 
     from lmat_tpu.io.native_writer import native_available
@@ -168,10 +214,13 @@ def main():
     dt = min(dt, dt2)
     rps = n_reads / dt
 
+    metric = "reads_per_sec_e2e"
+    if WORKLOAD != "mixed":
+        metric += f"_{WORKLOAD}"  # non-default workloads are a separate series
     print(
         json.dumps(
             {
-                "metric": "reads_per_sec_e2e",
+                "metric": metric,
                 "value": round(rps, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 2),

@@ -119,6 +119,88 @@ def probe(dev_index, prep):
     return {"found": found, "ng": ng, "tids": tids, "tmask": tmask, **prep}
 
 
+def probe_dedup(dev_index, prep, u_cap: int):
+    """Stage 4 with CROSS-READ k-mer dedup: probe each distinct k-mer once.
+
+    Reads from the same organism share most k-mers (at 30x coverage a genomic
+    k-mer recurs in ~30 reads), so the batch's Q = B*P probe queries collapse
+    to U << Q distinct k-mers.  The probe is gather-issue-bound (NOTES.md
+    roofline), so replacing 3 row gathers x Q with 3 x u_cap + 1 broadcast
+    row gather x Q wins whenever u_cap < ~2/3 Q.
+
+    Mechanics (all static shapes):
+      1. lexsort the flat (hi, lo) keys with their query index as payload;
+      2. unique-first flags -> slot ids (cumsum);
+      3. a second sort compacts the distinct keys to the front -> [u_cap];
+      4. probe the distinct keys once; pack each result into one
+         (meta | tids) row;
+      5. a third sort inverts the permutation (cheaper than a scatter on
+         TPU), and one row gather broadcasts each slot's row to its queries.
+
+    Queries whose slot falls beyond u_cap are reported per read in
+    "dedup_ovf" — the per-read overflow machinery reroutes those reads
+    through the exact host path, so any u_cap is safe, merely slower when
+    undersized.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B, P = prep["hi"].shape
+    Q = B * P
+    SENT = jnp.uint32(0xFFFFFFFF)
+    qv = prep["qvalid"].reshape(Q)
+    hi_f = jnp.where(qv, prep["hi"].reshape(Q), SENT)
+    lo_f = jnp.where(qv, prep["lo"].reshape(Q), SENT)
+    idx = jnp.arange(Q, dtype=jnp.int32)
+    hi_s, lo_s, idx_s = jax.lax.sort((hi_f, lo_f, idx), num_keys=2)
+
+    uniq = (
+        jnp.concatenate(
+            [jnp.ones(1, bool), (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])]
+        )
+        & (hi_s != SENT)
+    )
+    slot = jnp.cumsum(uniq.astype(jnp.int32)) - 1  # [Q]; dups share the head's
+    n_unique = slot[-1] + 1
+
+    # compact distinct keys to the front in slot order
+    key2 = jnp.where(uniq, slot, jnp.int32(Q))
+    _, u_hi, u_lo = jax.lax.sort((key2, hi_s, lo_s), num_keys=1)
+    u_hi, u_lo = u_hi[:u_cap], u_lo[:u_cap]
+    uvalid = jnp.arange(u_cap, dtype=jnp.int32) < n_unique
+
+    found_u, ng_u, tids_u, tmask_u = dev_index.lookup(u_hi, u_lo, uvalid)
+    cnt_u = jnp.sum(tmask_u.astype(jnp.int32), axis=-1)
+    meta_u = (
+        found_u.astype(jnp.uint32) << 31
+    ) | (cnt_u.astype(jnp.uint32) << 16) | ng_u.astype(jnp.uint32)
+    row_u = jnp.concatenate([meta_u[:, None], tids_u], axis=1)  # [u_cap, 1+T]
+
+    # invert the sort permutation (sort by idx_s beats a Q-element scatter)
+    _, slot_q = jax.lax.sort((idx_s, slot), num_keys=1)  # [Q] in query order
+    over_q = qv & (slot_q >= u_cap)
+    sl = jnp.clip(slot_q, 0, u_cap - 1)
+    row_q = jnp.take(row_u, sl, axis=0)  # ONE broadcast row gather
+    meta_q = row_q[:, 0]
+    ok = qv & ~over_q
+    found = ok & (meta_q >> 31).astype(bool)
+    ngv = jnp.where(found, meta_q & 0xFFFF, 0).astype(jnp.int32)
+    T = tids_u.shape[-1]
+    cnt_q = jnp.where(found, (meta_q >> 16) & 0x7FFF, 0).astype(jnp.int32)
+    tmask = jnp.arange(T, dtype=jnp.int32)[None, :] < cnt_q[:, None]
+    tids = jnp.where(tmask, row_q[:, 1:], jnp.uint32(0))
+
+    return {
+        "found": found.reshape(B, P),
+        "ng": ngv.reshape(B, P),
+        "tids": tids.reshape(B, P, T),
+        "tmask": tmask.reshape(B, P, T),
+        "dedup_ovf": jnp.sum(over_q.reshape(B, P).astype(jnp.int32), axis=1),
+        "n_unique": n_unique,
+        **prep,
+    }
+
+
 @dataclass
 class DevicePipeline:
     """Jitted end-to-end probe pipeline bound to a device-resident index."""

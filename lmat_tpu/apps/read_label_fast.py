@@ -28,13 +28,15 @@ F = np.float32
 
 
 class FastClassifier:
-    def __init__(self, dev_index, scorer, k: int = 20, min_score: float = 0.0):
+    def __init__(self, dev_index, scorer, k: int = 20, min_score: float = 0.0,
+                 dedup_frac: float | None = None):
         import jax
 
         self.k = k
         self.scorer = scorer
         self.min_score = min_score
         self.dev_index = dev_index
+        self.dedup_frac = dedup_frac
         cfg = scorer.cfg
 
         import jax.numpy as jnp
@@ -45,7 +47,17 @@ class FastClassifier:
         # tables in the closure would embed them as HLO constants
         def step(dev_index, batch, gc_bins):
             prep = prepare_reads(batch, k)
-            pr = probe(dev_index, prep)
+            if dedup_frac:
+                # cross-read k-mer dedup: probe distinct k-mers once (reads
+                # from one organism share most k-mers); undersized caps are
+                # safe — affected reads reroute via the overflow fallback
+                from .read_label_device import probe_dedup
+
+                B, P = prep["hi"].shape
+                u_cap = max(128, -(-int(B * P * dedup_frac) // 128) * 128)
+                pr = probe_dedup(dev_index, prep, min(u_cap, B * P))
+            else:
+                pr = probe(dev_index, prep)
             # GC bins come from the host: TPU f32 division is not IEEE
             # correctly-rounded and can flip the bin truncation at exact
             # boundaries (see core.encoding.host_gc_bins)
@@ -71,7 +83,10 @@ class FastClassifier:
             # out["overflow"] is per-read ([B]); the trailing scalar is the
             # router-capacity overflow slot (always 0 single-chip — the
             # sharded subclass fills it)
-            return ints, flts, cs, out["score_sorted"], out["overflow"], jnp.int32(0)
+            ovf = out["overflow"]
+            if dedup_frac:
+                ovf = ovf + pr["dedup_ovf"]
+            return ints, flts, cs, out["score_sorted"], ovf, jnp.int32(0)
 
         from ..core.encoding import host_gc_bins
 

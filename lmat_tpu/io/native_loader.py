@@ -39,7 +39,8 @@ def _lib():
             ctypes.c_void_p,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_char), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
         ]
         _LIB = lib
     return _LIB
@@ -66,27 +67,36 @@ class NativeBatcher:
         self.B = batch_size
         self.L = max_len
         self.hdr_cap = hdr_buf_cap
+        # persistent buffers: the first binding allocated + zeroed a fresh
+        # 4 MB header buffer per batch and copied all of it back — 40x slower
+        # than the Python parser.  Reused buffers + the C-reported header
+        # byte count keep the per-batch cost proportional to the data.
+        self._batch = np.zeros((self.B, self.L), np.uint8)
+        self._lengths = np.zeros(self.B, np.int32)
+        self._hdr = np.zeros(self.hdr_cap, np.uint8)
+        self._hdr_bytes = ctypes.c_int64(0)
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        batch = np.zeros((self.B, self.L), np.uint8)
-        lengths = np.zeros(self.B, np.int32)
-        hdr_buf = ctypes.create_string_buffer(self.hdr_cap)
         n = self.lib.fr_next_batch(
             self.handle,
-            batch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            self._batch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             self.B, self.L,
-            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            hdr_buf, self.hdr_cap,
+            self._lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self._hdr.ctypes.data_as(ctypes.POINTER(ctypes.c_char)),
+            self.hdr_cap, ctypes.byref(self._hdr_bytes),
         )
         if n == 0:
             self.close()
             raise StopIteration
-        headers = hdr_buf.raw.split(b"\0")[: n]
+        used = self._hdr_bytes.value
+        headers = self._hdr[:used].tobytes().split(b"\0")[:n]
         headers = [h.decode(errors="replace") for h in headers]
-        return batch[:n], lengths[:n], headers
+        # rows are copies: the caller may hold a batch while the next one
+        # is parsed into the persistent buffer
+        return self._batch[:n].copy(), self._lengths[:n].copy(), headers
 
     def close(self):
         if self.handle:

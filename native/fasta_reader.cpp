@@ -141,10 +141,13 @@ static int fr_next(FastaReader *r, const char **hdr_out, const char **seq_out,
 
 // Fill a [max_reads, max_len] uint8 batch (zero padded).  Returns the number
 // of reads packed.  lengths[i] receives the true read length; headers are
-// concatenated NUL-separated into hdr_buf (hdr_buf_cap bytes).
+// concatenated NUL-separated into hdr_buf (hdr_buf_cap bytes); *hdr_bytes
+// receives the used byte count so the binding never touches (or zeroes) the
+// rest of the buffer — the per-batch buffer churn there was what made the
+// first binding 40x slower than the Python parser.
 int64_t fr_next_batch(FastaReader *r, uint8_t *batch, int64_t max_reads,
                       int64_t max_len, int32_t *lengths, char *hdr_buf,
-                      int64_t hdr_buf_cap) {
+                      int64_t hdr_buf_cap, int64_t *hdr_bytes) {
     int64_t count = 0;
     int64_t hoff = 0;
     const char *hdr;
@@ -165,6 +168,7 @@ int64_t fr_next_batch(FastaReader *r, uint8_t *batch, int64_t max_reads,
         }
         count++;
     }
+    if (hdr_bytes) *hdr_bytes = hoff;
     return count;
 }
 
