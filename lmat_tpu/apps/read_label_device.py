@@ -201,6 +201,62 @@ def probe_dedup(dev_index, prep, u_cap: int):
     }
 
 
+# ---------------------------------------------------------------------------
+# Long reads / contigs: position-axis split.
+#
+# A read of any length is split into chunks of CHUNK_LEN bases overlapping by
+# k-1, so the chunks' window ranges PARTITION the read's window positions
+# (chunk c owns global windows [c*stride, (c+1)*stride), stride =
+# CHUNK_LEN-k+1).  The chunk rows form a normal [rows, CHUNK_LEN] batch — on
+# one chip they probe directly; on a mesh they ride the same data-parallel /
+# all-to-all machinery as short reads (SURVEY.md §2.3 sequence-axis row:
+# counts are associative, no ring needed).  The exact host epilogue
+# (read_label_host.Classifier.classify(lookups=...)) then scores the whole
+# read, so results are bit-identical to the pure host path at any length
+# (the reference's arbitrary-length label_vec, read_label.cpp:1225).
+# ---------------------------------------------------------------------------
+
+LONG_CHUNK = 4096
+
+
+def chunk_long_read(seq: str, k: int, chunk_len: int = LONG_CHUNK):
+    """Split one long read into a [rows, chunk_len] uint8 batch.
+
+    Returns (batch, n_pos, stride): rows are padded up to a power-of-two
+    ladder so jit shapes stay bounded; padding rows are all-zero (invalid).
+    """
+    b = seq.encode() if isinstance(seq, str) else seq
+    stride = chunk_len - (k - 1)
+    n_pos = max(0, len(b) - k + 1)
+    n_chunks = max(1, -(-n_pos // stride))
+    rows = 1
+    while rows < n_chunks:
+        rows *= 2
+    batch = np.zeros((rows, chunk_len), np.uint8)
+    for c in range(n_chunks):
+        piece = b[c * stride : c * stride + chunk_len]
+        batch[c, : len(piece)] = np.frombuffer(piece, np.uint8)
+    return batch, n_pos, stride
+
+
+def chunk_lookups_to_positions(found, ng, tids, tmask, n_pos: int, stride: int):
+    """Host-side: flatten fetched chunk-probe arrays into the per-position
+    [(found, ng, tids)] list the exact epilogue consumes (each global window
+    position lives in exactly one chunk: (p // stride, p % stride))."""
+    found = np.asarray(found)
+    ng = np.asarray(ng)
+    tids = np.asarray(tids)
+    tmask = np.asarray(tmask)
+    lookups = []
+    for p in range(n_pos):
+        c, lp = divmod(p, stride)
+        if found[c, lp]:
+            lookups.append((True, int(ng[c, lp]), tids[c, lp][tmask[c, lp]]))
+        else:
+            lookups.append((False, 0, ()))
+    return lookups
+
+
 @dataclass
 class DevicePipeline:
     """Jitted end-to-end probe pipeline bound to a device-resident index."""

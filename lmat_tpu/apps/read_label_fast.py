@@ -133,6 +133,60 @@ class FastClassifier:
                 "attached: raise max_candidates or call set_fallback()")
         return self.fallback.classify(hdr, seq)
 
+    # default routing threshold for the long-read path (reads above this go
+    # through the position-axis chunked probe + exact epilogue); the fast
+    # scorer's [B, C, C] candidate tensors stay short-read sized
+    LONG_READ_THRESHOLD = 2048
+
+    def long_read_line(self, hdr: str, seq: str) -> str:
+        """Classify one contig/long read of ANY length, bit-identically to
+        the exact host path.
+
+        Position-axis split (SURVEY.md §2.3): the read's window positions are
+        partitioned into [rows, 4096] chunk rows probed on-device in one
+        batch; the exact host epilogue scores the whole read from the merged
+        per-position lookups (read_label.cpp:1225 label_vec semantics).
+        Requires set_fallback() (the epilogue lives on the host classifier);
+        tallies stay in read order through the shared dicts.
+        """
+        import functools
+
+        import jax
+
+        from .read_label_device import (
+            chunk_long_read,
+            chunk_lookups_to_positions,
+            prepare_reads,
+        )
+
+        if self.fallback is None:
+            raise RuntimeError("long_read_line requires set_fallback()")
+        if getattr(self, "dev_index", None) is None:
+            # mesh-sharded classifiers hold no single-chip index; the pure
+            # host path is still exact (just not device-probed)
+            return self.fallback.classify(hdr, seq)
+        batch, n_pos, stride = chunk_long_read(seq, self.k)
+        if n_pos == 0:
+            return self.fallback.classify(hdr, seq)
+        if not hasattr(self, "_long_jit"):
+            def chunk_probe(dev_index, arr):
+                prep = prepare_reads(arr, self.k)
+                return dev_index.lookup(prep["hi"], prep["lo"], prep["qvalid"])
+
+            self._long_jit = jax.jit(chunk_probe)
+        found, ng, tids, tmask = jax.device_get(
+            self._long_jit(self.dev_index, batch)
+        )
+        # the device arena stores node indices with flag bits (see
+        # DeviceScorer.remap_index_tids); the exact epilogue needs raw taxids
+        sc = self.scorer
+        idx_mask = (1 << sc.IDX_BITS) - 1
+        raw = np.asarray(sc.tids, np.int64)[
+            np.asarray(tids, np.int64) & idx_mask
+        ].astype(np.uint32)
+        lookups = chunk_lookups_to_positions(found, ng, raw, tmask, n_pos, stride)
+        return self.fallback.classify(hdr, seq, lookups=lookups)
+
     def _init_node_tab(self, scorer) -> bool:
         """Node-index candidate transfer: raw taxids cost 4 B each; node
         indices fit uint16 for taxonomies under 64k nodes and are mapped back

@@ -211,12 +211,21 @@ def _run_fast(clf, args, f, n_shards, shard_id) -> int:
             if r >= 0:
                 yield buf
             return
+        long_thr = getattr(clf, "LONG_READ_THRESHOLD", 0) or 0
         buf = []
         for i, (hdr, seq) in enumerate(iter_reads_lmat(args.reads, fastq=args.fastq)):
             if n_shards > 1 and i % n_shards != shard_id:
                 continue
             if not hdr:
                 hdr = f"unknown_hdr:{i + 1}"
+            if long_thr and len(seq) > long_thr:
+                # contig: flush the short-read buffer (order!) then emit a
+                # long-read marker for the position-axis chunked path
+                if buf:
+                    yield buf
+                    buf = []
+                yield ("long", hdr, seq)
+                continue
             buf.append((hdr, seq))
             if len(buf) == B:
                 yield buf
@@ -240,6 +249,30 @@ def _run_fast(clf, args, f, n_shards, shard_id) -> int:
                 b = next(it, None)
                 if b is None:
                     done = True
+                elif isinstance(b, tuple) and b and b[0] == "long":
+                    # contig: drain the in-flight batch first (file order),
+                    # then classify through the position-axis chunked path
+                    if fetch is not None:
+                        p_b, fut = fetch
+                        data = clf.format_native(p_b, fut.result()) if use_native else None
+                        if data is not None:
+                            sink.write(data)
+                        else:
+                            lines = clf._format(p_b, fut.result())
+                            text = "".join(l if l.endswith("\t") else l + "\n" for l in lines)
+                            (sink.write(text.encode()) if use_native else f.write(text))
+                        n += len(p_b)
+                        fetch = None
+                    line = clf.long_read_line(b[1], b[2])
+                    line = line if line.endswith("\t") else line + "\n"
+                    # write through the active channel: text writes to f and
+                    # binary writes to its .buffer must not interleave
+                    if use_native:
+                        sink.write(line.encode())
+                    else:
+                        f.write(line)
+                    n += 1
+                    continue
                 else:
                     pad_to = ladder(max((len(s) for _, s in b), default=128))
                     dev_out = clf.step(clf.pad(b, pad_to=pad_to, fixed_rows=B_rows))
@@ -251,9 +284,12 @@ def _run_fast(clf, args, f, n_shards, shard_id) -> int:
                     sink.write(data)
                 else:
                     # format_native returns None when the native formatter
-                    # can't handle this batch — fall back to the Python path
+                    # can't handle this batch (or the batch has overflow
+                    # reads) — Python path; bytes go through the SAME channel
+                    # as the native writes so buffers never interleave
                     lines = clf._format(p_b, fut.result())
-                    f.write("".join(l if l.endswith("\t") else l + "\n" for l in lines))
+                    text = "".join(l if l.endswith("\t") else l + "\n" for l in lines)
+                    (sink.write(text.encode()) if use_native else f.write(text))
                 n += len(p_b)
             fetch = nxt
     return n
