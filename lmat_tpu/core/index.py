@@ -266,11 +266,14 @@ class KmerIndex:
             arena = np.zeros((arows * A,), np.uint32)
             arena[: len(self.tid_flat)] = self.tid_flat
             arena = arena.reshape(arows, A)
+            # uint32 offsets: arenas between 2^31 and 2^32 entries (the
+            # 1.7B-kmer marker DB at ~2 tids/kmer) would wrap int32
+            assert ts[-1] < 2**32, "arena > 4.3B entries: shard the index"
             rec = np.stack(
-                [ts[:-1].astype(np.int32), meta.astype(np.int32)], axis=1
+                [ts[:-1].astype(np.uint32), meta], axis=1
             )
             if N == 0:
-                rec = np.zeros((1, 2), np.int32)
+                rec = np.zeros((1, 2), np.uint32)
             arena_shape = ("window", A)
 
         tables = {
@@ -500,17 +503,19 @@ def _fetch_record(rec, arena, arena_mode, max_tids, pos, found):
         rows = row[..., 1:]
     else:
         rc = jnp.take(rec, pos, axis=0, mode="clip")  # [..., 2]
-        ts = rc[..., 0]
-        meta = jnp.where(found, rc[..., 1], 0)
+        # uint32 offsets (arenas up to 4.3B entries); the row index ts>>lga
+        # fits int32 for take
+        ts = rc[..., 0].astype(jnp.uint32)
+        meta = jnp.where(found, rc[..., 1].astype(jnp.uint32), jnp.uint32(0)).astype(jnp.int32)
         A = arena_mode[1]
         lga = A.bit_length() - 1
-        ra = ts >> lga
+        ra = (ts >> lga).astype(jnp.int32)
         w = jnp.concatenate(
             [jnp.take(arena, ra, axis=0, mode="clip"),
              jnp.take(arena, ra + 1, axis=0, mode="clip")],
             axis=-1,
         )  # [..., 2A]
-        sh = ts & (A - 1)
+        sh = (ts & (A - 1)).astype(jnp.int32)
         rows = jnp.zeros(w.shape[:-1] + (MT,), w.dtype)
         for s in range(A):
             rows = jnp.where((sh == s)[..., None], w[..., s : s + MT], rows)

@@ -41,10 +41,15 @@ def main():
     scorer = DeviceScorer(tax, cfg)
     remapped = scorer.remap_index_tids(idx)
     dev_index = remapped.to_device()
-    fast = FastClassifier(dev_index, scorer, k=bench.K)
+    fast = FastClassifier(dev_index, scorer, k=bench.K,
+                          dedup_frac=bench.DEDUP or None)
 
     rng = np.random.default_rng(99)
-    reads = bench.make_reads(kmers, groups, rng, bench.B)
+    if bench.WORKLOAD == "coverage":
+        genomes = bench.make_genomes(kmers, groups, rng, n_org=bench.N_ORGS)
+        reads = bench.make_reads_coverage(genomes, rng, bench.B)
+    else:
+        reads = bench.make_reads(kmers, groups, rng, bench.B)
     seqs = [s for _, s in reads]
 
     t_pad, batch_np = timeit(lambda: pad_batch(seqs))
@@ -61,6 +66,17 @@ def main():
     probe_j = jax.jit(lambda p: probe(dev_index, p))
     t_probe, pr = timeit(lambda: jax.block_until_ready(probe_j(prep)))
     print(f"probe                   {t_probe*1e3:8.1f} ms")
+
+    if bench.DEDUP:
+        from lmat_tpu.apps.read_label_device import probe_dedup
+
+        B_, P_ = np.asarray(prep["hi"]).shape
+        u_cap = min(max(128, -(-int(B_ * P_ * bench.DEDUP) // 128) * 128), B_ * P_)
+        dd_j = jax.jit(lambda p: probe_dedup(dev_index, p, u_cap))
+        t_dd, prd = timeit(lambda: jax.block_until_ready(dd_j(prep)))
+        nu = int(np.asarray(prd["n_unique"]))
+        print(f"probe_dedup cap={u_cap:7d} {t_dd*1e3:6.1f} ms "
+              f"(n_unique={nu} = {nu/(B_*P_):.2f}Q)")
 
     score_j = jax.jit(scorer.score_batch)
     t_score, out = timeit(lambda: jax.block_until_ready(score_j(pr)))
