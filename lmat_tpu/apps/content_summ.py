@@ -232,26 +232,43 @@ class ContentSummarizer:
         for k in self.opts.k_list:
             if Lmax - k + 1 <= 0:
                 continue
-            assert 2 * k + int(N - 1).bit_length() <= 64
             # k-mer at p = first k bases of the kmax window at p
             fk = fwd >> np.uint64(2 * (kmax - k))
             rk = rev & np.uint64((1 << (2 * k)) - 1)
             can = np.minimum(fk, rk)
             wv = (cs[:, k : k + P] - cs[:, :P]) == k
-            row = np.broadcast_to(
-                np.arange(N, dtype=np.uint64)[:, None] << np.uint64(2 * k),
-                can.shape,
-            )
-            uniq = np.unique((row | can)[wv])
-            rows = (uniq >> np.uint64(2 * k)).astype(np.int64)
-            kmers = uniq & np.uint64((1 << (2 * k)) - 1)
-            # rows ascend and tids[rows] is non-decreasing (pending sorted):
-            # taxid group boundaries via searchsorted, no sort needed
-            t = tids[rows]
-            bounds = np.nonzero(np.diff(t))[0] + 1
-            starts = np.concatenate([[0], bounds]) if t.size else []
-            for st, chunk in zip(starts, np.split(kmers, bounds)):
-                out.append((k, int(t[st]), chunk))
+            # the (row << 2k | kmer) tag must fit u64: for large k, process
+            # the row axis in chunks small enough for the remaining tag bits
+            # (k=26 -> 4096 rows/chunk; 2k >= 64 -> one read at a time,
+            # tag = bare k-mer)
+            max_rows = max(1 << max(64 - 2 * k, 0), 1)
+            for base in range(0, N, max_rows):
+                n_rows = min(max_rows, N - base)
+                canc = can[base : base + n_rows]
+                wvc = wv[base : base + n_rows]
+                if 2 * k < 64:
+                    row = np.broadcast_to(
+                        np.arange(n_rows, dtype=np.uint64)[:, None]
+                        << np.uint64(2 * k),
+                        canc.shape,
+                    )
+                    tagged = row | canc
+                else:
+                    tagged = canc
+                uniq = np.unique(tagged[wvc])
+                if 2 * k < 64:
+                    rows = (uniq >> np.uint64(2 * k)).astype(np.int64) + base
+                    kmers = uniq & np.uint64((1 << (2 * k)) - 1)
+                else:
+                    rows = np.full(uniq.shape, base, np.int64)
+                    kmers = uniq
+                # rows ascend and tids[rows] is non-decreasing (pending
+                # sorted): taxid group boundaries via diff, no sort needed
+                t = tids[rows]
+                bounds = np.nonzero(np.diff(t))[0] + 1
+                starts = np.concatenate([[0], bounds]) if t.size else []
+                for st, chunk in zip(starts, np.split(kmers, bounds)):
+                    out.append((k, int(t[st]), chunk))
         return out
 
     # -- output (content_summ.cpp:442-571) ---------------------------------

@@ -145,6 +145,9 @@ class ShardedFastClassifier(FastClassifier):
             self._cap = min(self._cap * 2, self._q_per_dev)
             run = self._build_run(self._cap)
             vals = self._fetch(run(self.pad(reads)))
+            # the ratchet is permanent: later batches dispatch straight at
+            # the raised cap instead of overflowing once per batch first
+            self.step = run
         return vals
 
     def pad(self, reads, pad_to=None, fixed_rows=None):

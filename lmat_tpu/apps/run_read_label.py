@@ -47,6 +47,16 @@ def run(args) -> Classifier:
         permissive=getattr(args, "permissive", False),
     )
     mode = getattr(args, "mode", "exact") or "exact"
+    dist = getattr(args, "distributed", None)
+    if dist and mode != "fast":
+        # exact mode under --distributed: fast mode initializes the runtime
+        # inside _make_fast; do it here too so jax.process_count()/index()
+        # below see the real topology and every process classifies only its
+        # own input shard (instead of N duplicate writers on one path)
+        from ..parallel.multihost import init_distributed
+
+        coord, nproc, pid = dist.rsplit(",", 2)
+        init_distributed(coord, int(nproc), int(pid))
     if mode == "fast":
         clf = _make_fast(tax, index, args, null)
         # graceful overflow degrade: reads whose candidate set exceeds the

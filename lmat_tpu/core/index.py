@@ -267,8 +267,12 @@ class KmerIndex:
             arena[: len(self.tid_flat)] = self.tid_flat
             arena = arena.reshape(arows, A)
             # uint32 offsets: arenas between 2^31 and 2^32 entries (the
-            # 1.7B-kmer marker DB at ~2 tids/kmer) would wrap int32
-            assert ts[-1] < 2**32, "arena > 4.3B entries: shard the index"
+            # 1.7B-kmer marker DB at ~2 tids/kmer) would wrap int32.  The
+            # device also casts the row index (ts >> log2(A)) to int32, so
+            # for A == 1 the offset itself must stay below 2^31.
+            assert ts[-1] < min(2**32, 2**31 * A), (
+                "arena too large for uint32/int32-row addressing: shard the index"
+            )
             rec = np.stack(
                 [ts[:-1].astype(np.uint32), meta], axis=1
             )

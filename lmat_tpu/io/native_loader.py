@@ -93,6 +93,11 @@ class NativeBatcher:
             raise StopIteration
         used = self._hdr_bytes.value
         headers = self._hdr[:used].tobytes().split(b"\0")[:n]
+        if len(headers) < n:
+            # header buffer was exhausted mid-batch (C side truncates
+            # content but can run out of separator bytes only when the
+            # buffer is completely full): keep row alignment with blanks
+            headers += [b""] * (n - len(headers))
         headers = [h.decode(errors="replace") for h in headers]
         # rows are copies: the caller may hold a batch while the next one
         # is parsed into the persistent buffer

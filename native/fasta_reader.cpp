@@ -159,12 +159,17 @@ int64_t fr_next_batch(FastaReader *r, uint8_t *batch, int64_t max_reads,
         memcpy(row, seq, copy);
         if (copy < (size_t)max_len) memset(row + copy, 0, max_len - copy);
         lengths[count] = (int32_t)slen;
+        // every packed read gets its NUL separator: truncate header
+        // CONTENT to the remaining space, never the separator, so the
+        // binding's split always yields `count` headers
         size_t hl = strlen(hdr);
-        if (hoff + (int64_t)hl + 1 <= hdr_buf_cap) {
-            memcpy(hdr_buf + hoff, hdr, hl + 1);
-            hoff += hl + 1;
-        } else if (hoff < hdr_buf_cap) {
-            hdr_buf[hoff++] = 0;
+        int64_t room = hdr_buf_cap - hoff - 1;
+        if (room < 0) room = 0;
+        if ((int64_t)hl > room) hl = (size_t)room;
+        if (hoff < hdr_buf_cap) {
+            memcpy(hdr_buf + hoff, hdr, hl);
+            hdr_buf[hoff + hl] = 0;
+            hoff += (int64_t)hl + 1;
         }
         count++;
     }

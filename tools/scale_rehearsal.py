@@ -1,162 +1,199 @@
 #!/usr/bin/env python3
-"""Scale rehearsal: build and probe a >=100M-kmer index on one real chip.
+"""Scale rehearsal: the windowed-arena index at >=100M k-mers on a real chip.
 
-VERDICT r1 item 5: the windowed arena existed but had never been exercised
-beyond 4M k-mers (the marker DB is 1.7e9, /root/reference/doc/lmat-doc.txt:464).
-This script:
+The production marker DB is 1.7e9 k-mers (reference doc/lmat-doc.txt:464);
+round 1/2 benches only ever instantiated 4M.  This tool builds a synthetic
+index at SCALE_KMERS (default 1e8) k-mers, uploads it to the device, and
+records:
 
-  1. builds a synthetic index of N k-mers (vectorized flat build, no Python
-     per-k-mer objects) with a realistic list-length distribution,
-  2. uploads it with the WINDOWED arena (the at-scale layout; dense rows
-     would be N*(T+1)*4 bytes),
-  3. measures probe throughput at B=2048 and spot-checks device lookups
-     against the host reference implementation,
-  4. prints a capacity table extrapolating to the 1.7B-kmer marker DB.
+  - host + device memory footprint per table (measured, not estimated)
+  - device probe throughput (lookups/s) at that scale
+  - bit-exact agreement of a device-probe sample vs the host lookup oracle
+  - a capacity extrapolation to the 1.7B-k-mer marker DB
 
-Usage: python tools/scale_rehearsal.py [--kmers 100000000] [--batches 5]
+Run:  python tools/scale_rehearsal.py            (real TPU via axon)
+      SCALE_KMERS=20000000 python tools/scale_rehearsal.py
+Writes a JSON report to stdout (one line) + human detail on stderr.
 """
 
-import argparse
 import json
 import os
 import sys
 import time
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
-
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 K = 20
-B = 2048
-L = 200
-MAX_TIDS = 8
+N = int(float(os.environ.get("SCALE_KMERS", 1e8)))
+MAX_TIDS = int(os.environ.get("SCALE_MAX_TIDS", 8))
+Q = int(os.environ.get("SCALE_QUERIES", 1 << 19))
+ITERS = int(os.environ.get("SCALE_ITERS", 10))
+MARKER_DB_KMERS = 1_697_066_355  # doc/lmat-doc.txt:464
 
 
-def build(n_kmers: int):
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_synthetic(n):
+    """Vectorized synthetic index: n unique k-mers, geometric list lengths
+    capped at MAX_TIDS, taxids drawn from a 2^20 id space."""
     from lmat_tpu.core.index import KmerIndex
 
     rng = np.random.default_rng(4242)
     t0 = time.time()
+    # draw ~5% extra to survive the unique() collapse at this density
     kmers = np.unique(
-        rng.integers(0, 1 << (2 * K), size=n_kmers, dtype=np.uint64)
-    )
+        rng.integers(0, 1 << (2 * K), size=int(n * 1.05), dtype=np.uint64)
+    )[:n]
     lens = np.minimum(rng.geometric(0.6, size=kmers.shape[0]), MAX_TIDS).astype(
         np.int64
     )
     total = int(lens.sum())
-    tid_flat = rng.integers(2, 1 << 20, size=total, dtype=np.uint64).astype(
-        np.uint32
-    )
+    tid_flat = rng.integers(2, 1 << 20, size=total, dtype=np.int64).astype(np.uint32)
     idx = KmerIndex.build_flat(kmers, tid_flat, lens, k=K, max_tids=MAX_TIDS)
-    print(
-        f"built {idx.n_kmers:,} k-mers / {total:,} arena entries "
-        f"in {time.time() - t0:.1f}s",
-        file=sys.stderr,
+    log(
+        f"build: {idx.n_kmers:,} kmers, {total:,} taxid entries in "
+        f"{time.time() - t0:.1f}s (host)"
     )
     return idx, kmers
 
 
-def table_bytes(idx, dense):
-    tables, mode = idx.packed_tables(dense_lists=dense)
-    return {k: v.nbytes for k, v in tables.items()}, mode
-
-
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--kmers", type=int, default=100_000_000)
-    ap.add_argument("--batches", type=int, default=5)
-    args = ap.parse_args()
-
     import jax
+
+    if os.environ.get("SCALE_PLATFORM"):
+        # the axon env force-prepends a TPU plugin over JAX_PLATFORMS; an
+        # in-process config update before first device use still wins
+        jax.config.update("jax_platforms", os.environ["SCALE_PLATFORM"])
+    import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    idx, kmers = build(args.kmers)
-    sizes, mode = table_bytes(idx, dense=False)
-    hbm = sum(sizes.values())
-    print(
-        f"windowed tables: "
-        + ", ".join(f"{k}={v / 1e9:.2f}GB" for k, v in sizes.items())
-        + f"; total {hbm / 1e9:.2f} GB (arena mode {mode})",
-        file=sys.stderr,
+    idx, kmers = build_synthetic(N)
+
+    # ---- host-side table sizes (the windowed layout the device will hold)
+    tables, arena_mode = idx.packed_tables(dense_lists=False)
+    sizes = {name: int(t.nbytes) for name, t in tables.items()}
+    host_total = sum(sizes.values())
+    log(
+        "packed tables (windowed arena): "
+        + ", ".join(f"{k}={v / 1e9:.3f} GB" for k, v in sizes.items())
+        + f"; total {host_total / 1e9:.3f} GB = "
+        f"{host_total / idx.n_kmers:.1f} B/kmer"
     )
 
+    dev = jax.devices()[0]
+    stats0 = dev.memory_stats() or {}
     t0 = time.time()
-    dev = idx.to_device(dense_lists=False)
-    print(f"upload: {time.time() - t0:.1f}s", file=sys.stderr)
-
-    # reads stitched from DB k-mers (every window after the first junction
-    # misses; ~10 true hits per read — probe cost is per query either way)
-    rng = np.random.default_rng(7)
-    bases = np.frombuffer(b"ACGT", np.uint8)
-    from lmat_tpu.apps.read_label_device import pad_batch, prepare_reads, probe
-
-    picks = rng.integers(0, idx.n_kmers, size=(B, L // K + 1))
-    seqs = []
-    for i in range(B):
-        seq = []
-        for j in picks[i]:
-            km = int(kmers[j])
-            seq.extend((km >> (2 * (K - 1 - t))) & 3 for t in range(K))
-        seqs.append(bytes(bases[np.array(seq[:L], np.uint8)]).decode())
-    batch = pad_batch(seqs, pad_to=L)
-
-    def step(dev_index, arr):
-        pr = probe(dev_index, prepare_reads(arr, K))
-        # materialize everything the scorer would consume
-        return (
-            pr["found"].sum(),
-            pr["ng"].astype(np.int32).sum(),
-            pr["tids"].astype(np.uint32).max(),
-            pr["tmask"].sum(),
-        )
-
-    jit_step = jax.jit(step)
-    out = jax.block_until_ready(jit_step(dev, batch))
-    t0 = time.time()
-    for _ in range(args.batches):
-        out = jax.block_until_ready(jit_step(dev, batch))
-    dt = (time.time() - t0) / args.batches
-    P = L - K + 1
-    lookups_s = B * P / dt
-    print(
-        f"probe step {dt * 1e3:.1f} ms/batch = {lookups_s / 1e6:.2f}M lookups/s "
-        f"({B / dt:,.0f} reads/s probe-bound); found={int(out[0])}",
-        file=sys.stderr,
+    dix = idx.to_device()
+    jax.block_until_ready(dix.arena)
+    t_up = time.time() - t0
+    stats1 = dev.memory_stats() or {}
+    hbm_used = stats1.get("bytes_in_use", 0) - stats0.get("bytes_in_use", 0)
+    hbm_cap = stats1.get("bytes_limit", 0)
+    log(
+        f"upload: {t_up:.1f}s; device bytes_in_use delta "
+        f"{hbm_used / 1e9:.3f} GB (limit {hbm_cap / 1e9:.1f} GB)"
     )
 
-    # spot-check correctness vs the host reference lookup
+    # ---- correctness sample: device probe vs host oracle, hits and misses
     from lmat_tpu.core.encoding import split64
 
-    sample = rng.integers(0, idx.n_kmers, size=256)
-    s_kmers = kmers[sample]
-    hi, lo = split64(s_kmers)
-    f, ng, tids, tmask = jax.device_get(
-        jax.jit(dev.lookup)(hi, lo, np.ones(256, bool))
+    rng = np.random.default_rng(77)
+    n_s = 4096
+    sample = np.concatenate(
+        [
+            kmers[rng.integers(0, idx.n_kmers, size=n_s // 2)],
+            rng.integers(0, 1 << (2 * K), size=n_s // 2, dtype=np.uint64),
+        ]
     )
-    for i in range(256):
-        got = idx.lookup_host(int(s_kmers[i]))
-        assert got is not None and f[i], f"miss at {i}"
-        assert int(ng[i]) == got[0]
-        assert (tids[i][tmask[i]] == got[1]).all()
-    print("256/256 device lookups match the host reference", file=sys.stderr)
+    hi, lo = split64(sample)
+    f, ng, tids, tmask = jax.jit(dix.lookup)(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.ones(n_s, bool)
+    )
+    f, ng, tids, tmask = map(np.asarray, (f, ng, tids, tmask))
+    n_bad = 0
+    for i in range(n_s):
+        want = idx.lookup_host(int(sample[i]))
+        if want is None:
+            n_bad += bool(f[i])
+            continue
+        wng, wtids = want
+        got = np.sort(tids[i][tmask[i]])
+        ok = f[i] and ng[i] == wng and got.shape == wtids.shape and (
+            got == np.sort(wtids)
+        ).all()
+        n_bad += not ok
+    log(f"correctness sample: {n_s - n_bad}/{n_s} device lookups match host oracle")
+    assert n_bad == 0, f"{n_bad} mismatches"
 
-    marker = 1_700_000_000
-    scale = marker / idx.n_kmers
-    print(json.dumps({
-        "metric": "scale_rehearsal",
-        "n_kmers": idx.n_kmers,
-        "hbm_gb": round(hbm / 1e9, 2),
-        "probe_ms_per_batch": round(dt * 1e3, 2),
-        "lookups_per_sec_M": round(lookups_s / 1e6, 2),
-        "marker_db_extrapolation": {
-            "n_kmers": marker,
-            "hbm_gb_total": round(hbm / 1e9 * scale, 1),
-            "chips_v5e_16gb": int(np.ceil(hbm * scale / 12e9)),  # 12GB usable
-        },
-    }))
+    # ---- probe throughput at scale
+    qk = np.concatenate(
+        [
+            kmers[rng.integers(0, idx.n_kmers, size=Q // 2)],
+            rng.integers(0, 1 << (2 * K), size=Q - Q // 2, dtype=np.uint64),
+        ]
+    )
+    rng.shuffle(qk)
+    qhi, qlo = split64(qk)
+    qhi, qlo = jnp.asarray(qhi), jnp.asarray(qlo)
+    qv = jnp.ones(Q, bool)
+
+    @jax.jit
+    def probe_reduce(d, hi_, lo_, v_):
+        found, ngv, tids_, tmask_ = d.lookup(hi_, lo_, v_)
+        return (
+            found.sum(),
+            ngv.sum(),
+            tids_.astype(jnp.uint32).sum(),
+            tmask_.sum(),
+        )
+
+    out = probe_reduce(dix, qhi, qlo, qv)
+    jax.block_until_ready(out)  # compile + warm
+    t0 = time.time()
+    for _ in range(ITERS):
+        out = probe_reduce(dix, qhi, qlo, qv)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / ITERS
+    lps = Q / dt
+    log(
+        f"probe: {Q:,} lookups in {dt * 1e3:.2f} ms/iter = {lps / 1e6:.2f}M "
+        f"lookups/s ({int(out[0]):,} hits)"
+    )
+
+    # ---- capacity extrapolation to the 1.7B marker DB
+    bytes_per_kmer = host_total / idx.n_kmers
+    marker_bytes = bytes_per_kmer * MARKER_DB_KMERS
+    usable = (hbm_cap or 16e9) * 0.9  # leave headroom for batch + scorer
+    chips = int(np.ceil(marker_bytes / usable))
+    log(
+        f"capacity: {bytes_per_kmer:.1f} B/kmer -> marker DB "
+        f"({MARKER_DB_KMERS / 1e9:.2f}B kmers) = {marker_bytes / 1e9:.0f} GB "
+        f"-> {chips} chips of {usable / 1e9:.1f} GB usable HBM "
+        f"(prefix-sharded via parallel/router.py)"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "scale_rehearsal",
+                "n_kmers": idx.n_kmers,
+                "host_table_gb": round(host_total / 1e9, 3),
+                "bytes_per_kmer": round(bytes_per_kmer, 2),
+                "device_hbm_gb": round(hbm_used / 1e9, 3),
+                "upload_s": round(t_up, 1),
+                "probe_mlookups_per_s": round(lps / 1e6, 2),
+                "sample_exact": True,
+                "marker_db_gb": round(marker_bytes / 1e9, 1),
+                "marker_db_chips": chips,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
