@@ -95,9 +95,17 @@ def main():
     stats1 = dev.memory_stats() or {}
     hbm_used = stats1.get("bytes_in_use", 0) - stats0.get("bytes_in_use", 0)
     hbm_cap = stats1.get("bytes_limit", 0)
+    if not hbm_used:
+        # axon's remote backend reports no memory stats: fall back to the
+        # device buffers' own nbytes (the tables are uploaded verbatim)
+        hbm_used = sum(
+            getattr(t, "nbytes", 0)
+            for t in (dix.bucket_tab, dix.suffix_over, dix.rec, dix.arena)
+            if t is not None
+        )
     log(
-        f"upload: {t_up:.1f}s; device bytes_in_use delta "
-        f"{hbm_used / 1e9:.3f} GB (limit {hbm_cap / 1e9:.1f} GB)"
+        f"upload: {t_up:.1f}s; device table bytes "
+        f"{hbm_used / 1e9:.3f} GB (reported limit {hbm_cap / 1e9:.1f} GB)"
     )
 
     # ---- correctness sample: device probe vs host oracle, hits and misses
@@ -112,8 +120,11 @@ def main():
         ]
     )
     hi, lo = split64(sample)
-    f, ng, tids, tmask = jax.jit(dix.lookup)(
-        jnp.asarray(hi), jnp.asarray(lo), jnp.ones(n_s, bool)
+    # pass the DeviceIndex as a pytree ARGUMENT: jitting the bound method
+    # would capture the multi-GB tables as HLO constants
+    lookup = jax.jit(lambda d, h, l, v: d.lookup(h, l, v))
+    f, ng, tids, tmask = lookup(
+        dix, jnp.asarray(hi), jnp.asarray(lo), jnp.ones(n_s, bool)
     )
     f, ng, tids, tmask = map(np.asarray, (f, ng, tids, tmask))
     n_bad = 0
