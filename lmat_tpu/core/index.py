@@ -286,24 +286,32 @@ class KmerIndex:
         }
         return tables, arena_shape
 
-    # direct bucket-row layout: one gather fetches a whole bucket (sorted
-    # suffixes + kmer ids interleaved), replacing the bucket_tab gather and
-    # every binary-search step.  MEASURED SLOWER than the windowed probe on
-    # v5e (30.4 vs 14.7 ms at B=2048 on the 4M-kmer bench DB): the padded
-    # [n_buckets, 2R] table is ~8x larger than the window tables and the
-    # gather engine pays for the lost locality, outweighing the saved issue.
-    # Kept as an opt-in (layout="direct") for geometries with tiny tables;
-    # "auto" always picks the windowed layout.
-    _DIRECT_RMAX = 64
-    _DIRECT_LIMIT = 2 << 30
+    # fully-fused bucket-row layout: ONE row gather per query fetches bucket
+    # b's complete records — R slots of (suffix, meta, taxids...) — so the
+    # bucket_tab gather, every binary-search step AND the arena gather all
+    # disappear.  TPU row gathers are issue-rate bound (~40M rows/s) with row
+    # width nearly free to >=320 u32 (tools/profile_r3b.py), so collapsing
+    # 3 gathers to 1 is a direct probe win.  The cost is padding: every
+    # bucket row is R = next_pow2(max bucket) slots wide, a ~4-10x table
+    # blow-up over the windowed layout — a speed/memory tradeoff only small
+    # and mid-size DBs should take (capacity-bound DBs keep the lean
+    # windowed layout and shard across chips).  "auto" applies
+    # _FUSED_AUTO_LIMIT below.
+    _FUSED_RMAX = 128
+    _FUSED_AUTO_LIMIT = 2 << 30
 
-    def direct_tables(self):
-        """Repack into the direct bucket-row layout, or return None when the
-        geometry does not fit (deep buckets / memory blow-up).
+    def fused_tables(self):
+        """Repack into the fused bucket-row layout, or None when the geometry
+        does not fit (deep buckets / memory blow-up past _FUSED_RMAX rows —
+        the one-hot record select costs O(R) VPU work per query, so very
+        deep buckets lose even when memory allows).
 
-        Returns (bucket_rows [n_buckets, 2R] uint32, R): row r holds bucket
-        r's sorted suffixes in [:R] (0xFFFFFFFF padded) and the matching
-        global k-mer ids in [R:].
+        Returns (fused_rows [n_buckets, R*(2+MT)] uint32, R): bucket b's slot
+        s holds (suffix, count<<16|ng, tids... zero-padded); empty slots have
+        suffix 0xFFFFFFFF (real suffixes are < 2^SUF_BITS).
+        Requires the dense-arena invariant (lists <= max_tids, enforced at
+        build).  16-bit compacted arenas work unchanged: tids here are the
+        same ids the conv_table translates.
         """
         bs = self.bucket_start.astype(np.int64)
         counts = np.diff(bs)
@@ -311,48 +319,77 @@ class KmerIndex:
         R = 8
         while R < max_b:
             R *= 2
-        nb = len(counts)
-        if max_b > self._DIRECT_RMAX or nb * 2 * R * 4 > self._DIRECT_LIMIT:
+        if max_b > self._FUSED_RMAX:
             return None
-        rows = np.full((nb, 2 * R), 0xFFFFFFFF, np.uint32)
-        pos = np.repeat(bs[:-1], counts)
-        col = np.arange(len(pos)) - np.repeat(np.cumsum(counts) - counts, counts)
+        nb = len(counts)
+        MT = self.max_tids
+        W = 2 + MT
+        rows = np.zeros((nb, R, W), np.uint32)
+        rows[:, :, 0] = 0xFFFFFFFF
+        # scatter each k-mer's record into (its bucket, its rank-in-bucket)
         bi = np.repeat(np.arange(nb), counts)
-        rows[bi, col] = self.suffix
-        rows[bi, R + col] = np.arange(self.n_kmers, dtype=np.uint32)
-        return rows, R
+        col = np.arange(self.n_kmers) - np.repeat(bs[:-1], counts)
+        rows[bi, col, 0] = self.suffix
+        ts = self.tid_start.astype(np.int64)
+        count = (ts[1:] - ts[:-1]).astype(np.int64)
+        rows[bi, col, 1] = (count.astype(np.uint32) << 16) | self.ng.astype(np.uint32)
+        cols = np.arange(MT)[None, :]
+        msk = cols < count[:, None]
+        idx = np.minimum(ts[:-1, None] + cols, max(len(self.tid_flat) - 1, 0))
+        rows[bi[:, None], col[:, None], 2 + cols] = np.where(
+            msk, self.tid_flat[idx], 0
+        )
+        return rows.reshape(nb, R * W), R
 
     def to_device(self, device=None, dense_lists: bool | None = None,
                   layout: str = "auto"):
-        """Upload the packed row tables (see packed_tables) to the device.
+        """Upload the index to the device in one of two probe layouts.
 
-        layout: "auto" (= "window", the measured-faster probe) or "direct"
-        to force the single-gather bucket-row probe (see _DIRECT_RMAX note).
+        layout:
+          "auto"   — "fused" when the fused table fits _FUSED_AUTO_LIMIT
+                     bytes and the geometry allows it, else "window"
+          "fused"  — single-gather bucket-row probe (fast, padded: see
+                     fused_tables); raises if the geometry does not fit
+          "window" — lean 3-gather layout (bucket pair + overlapping suffix
+                     window + record row); the capacity layout, and the one
+                     the prefix-sharded router uses per shard
         """
         import jax
 
         put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
-        direct = None
-        if layout == "direct":
-            direct = self.direct_tables()
-            if direct is None:
-                raise ValueError("index geometry does not fit the direct layout")
-        tables, arena_shape = self.packed_tables(dense_lists)
-        if direct is not None:
-            bucket_rows, R = direct
+        fused = None
+        if layout == "fused":
+            fused = self.fused_tables()
+            if fused is None:
+                raise ValueError("index geometry does not fit the fused layout")
+        elif layout == "auto" and dense_lists is None:
+            # an explicit dense_lists choice pins the packed layout (callers
+            # asking for a specific arena mode want that mode exercised)
+            bs = self.bucket_start.astype(np.int64)
+            counts = np.diff(bs)
+            max_b = int(counts.max()) if counts.size else 0
+            R = 8
+            while R < max_b:
+                R *= 2
+            nbytes = len(counts) * R * (2 + self.max_tids) * 4
+            if max_b <= self._FUSED_RMAX and nbytes <= self._FUSED_AUTO_LIMIT:
+                fused = self.fused_tables()
+        if fused is not None:
+            fused_rows, R = fused
             return DeviceIndex(
                 k=self.k,
                 bucket_tab=None,
                 suffix_over=None,
-                rec=put(tables["rec"]),
-                arena=put(tables["arena"]),
+                rec=None,
+                arena=None,
                 max_tids=self.max_tids,
                 search_depth=self.search_depth,
-                arena_mode=arena_shape,
+                arena_mode=("fused", R),
                 conv_table=put(self.conv_table) if self.conv_table is not None else None,
-                bucket_rows=put(bucket_rows),
-                direct_r=R,
+                fused_rows=put(fused_rows),
+                fused_r=R,
             )
+        tables, arena_shape = self.packed_tables(dense_lists)
         return DeviceIndex(
             k=self.k,
             bucket_tab=put(tables["bucket_tab"]),
@@ -383,8 +420,8 @@ class DeviceIndex:
     search_depth: int
     arena_mode: tuple = ("dense", 0)
     conv_table: object = None
-    bucket_rows: object = None  # direct layout (see KmerIndex.direct_tables)
-    direct_r: int = 0
+    fused_rows: object = None  # fused layout (see KmerIndex.fused_tables)
+    fused_r: int = 0
 
     def lookup(self, hi, lo, valid):
         """Probe a batch of k-mers.
@@ -395,10 +432,9 @@ class DeviceIndex:
         """
         import jax.numpy as jnp
 
-        if self.bucket_rows is not None:
-            found, ngv, tids, tmask = probe_direct(
-                self.bucket_rows, self.direct_r, self.rec, self.arena,
-                self.arena_mode, self.max_tids,
+        if self.fused_rows is not None:
+            found, ngv, tids, tmask = probe_fused(
+                self.fused_rows, self.fused_r, self.max_tids,
                 hi.astype(jnp.int32), lo, valid,
             )
         else:
@@ -416,19 +452,19 @@ class DeviceIndex:
 
 def _di_flatten(d):
     children = (d.bucket_tab, d.suffix_over, d.rec, d.arena, d.conv_table,
-                d.bucket_rows)
-    aux = (d.k, d.max_tids, d.search_depth, d.arena_mode, d.direct_r)
+                d.fused_rows)
+    aux = (d.k, d.max_tids, d.search_depth, d.arena_mode, d.fused_r)
     return children, aux
 
 
 def _di_unflatten(aux, children):
-    k, max_tids, search_depth, arena_mode, direct_r = aux
-    bucket_tab, suffix_over, rec, arena, conv_table, bucket_rows = children
+    k, max_tids, search_depth, arena_mode, fused_r = aux
+    bucket_tab, suffix_over, rec, arena, conv_table, fused_rows = children
     return DeviceIndex(
         k=k, bucket_tab=bucket_tab, suffix_over=suffix_over, rec=rec,
         arena=arena, max_tids=max_tids, search_depth=search_depth,
         arena_mode=arena_mode, conv_table=conv_table,
-        bucket_rows=bucket_rows, direct_r=direct_r,
+        fused_rows=fused_rows, fused_r=fused_r,
     )
 
 
@@ -530,22 +566,32 @@ def _fetch_record(rec, arena, arena_mode, max_tids, pos, found):
     return found, ngv, tids, tmask
 
 
-def probe_direct(bucket_rows, R, rec, arena, arena_mode, max_tids, b, lo, valid):
-    """Direct bucket-row probe: ONE row gather fetches bucket b's sorted
-    suffixes and k-mer ids together, so no bucket_tab gather and no binary
-    search steps remain (vs probe_packed's three gathers + steps).  The
-    record fetch (second gather) is shared with probe_packed.
+def probe_fused(fused_rows, R, max_tids, b, lo, valid):
+    """Fused bucket-row probe: ONE row gather per query fetches bucket b's
+    complete records — R slots of (suffix, meta, taxids...) — so no
+    bucket_tab gather, no binary-search steps and no arena gather remain
+    (vs probe_packed's three gathers).  Row gathers are issue-rate bound
+    with width nearly free (tools/profile_r3b.py), so this is the
+    fastest probe when the padded table fits memory.
 
     b: int32 bucket id [...]; lo: uint32 suffix; valid: bool.
     """
     import jax.numpy as jnp
 
-    row = jnp.take(bucket_rows, b, axis=0, mode="clip")  # [..., 2R]
-    suf = row[..., :R]
-    hit = (suf == lo.astype(jnp.uint32)[..., None]) & valid[..., None]
+    MT = max_tids
+    W = 2 + MT
+    row = jnp.take(fused_rows, b, axis=0, mode="clip")  # [..., R*W]
+    rr = row.reshape(row.shape[:-1] + (R, W))
+    # suffixes are unique within a bucket and empty slots hold 0xFFFFFFFF
+    # (real suffixes are < 2^SUF_BITS), so `hit` is one-hot
+    hit = (rr[..., 0] == lo.astype(jnp.uint32)[..., None]) & valid[..., None]
     found = jnp.any(hit, axis=-1)
-    # suffixes are unique within a bucket, so `hit` is one-hot: the id select
-    # is a masked sum (elementwise + reduce; no serial take_along_axis)
-    ids = row[..., R:]
-    pos = jnp.sum(jnp.where(hit, ids, jnp.uint32(0)), axis=-1).astype(jnp.int32)
-    return _fetch_record(rec, arena, arena_mode, max_tids, pos, found)
+    rec = jnp.sum(
+        jnp.where(hit[..., None], rr[..., 1:], jnp.uint32(0)), axis=-2
+    )  # [..., 1+MT] = (meta, tids)
+    meta = rec[..., 0].astype(jnp.int32)
+    count = meta >> 16
+    ngv = meta & 0xFFFF
+    tmask = (jnp.arange(MT, dtype=jnp.int32) < count[..., None]) & found[..., None]
+    tids = jnp.where(tmask, rec[..., 1:], jnp.uint32(0))
+    return found, ngv, tids, tmask

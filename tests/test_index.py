@@ -125,3 +125,62 @@ def test_device_lookup_deep_buckets():
     assert idx.search_depth > 5  # must exercise the bsearch prefix steps
     for dense in (True, False):
         _check_device_vs_host(idx, kmers, rng, k, dense=dense)
+
+
+def test_device_lookup_fused_layout():
+    """The fused single-gather layout must match the host oracle and the
+    windowed layout exactly, hits and misses alike."""
+    rng = np.random.default_rng(7)
+    k = 12
+    kmers, lists = random_db(rng, 400, k, 8)
+    idx = KmerIndex.build(kmers, lists, k, max_tids=8)
+    dev = idx.to_device(layout="fused")
+    assert dev.fused_rows is not None
+    queries = np.concatenate(
+        [kmers, rng.integers(0, 1 << (2 * k), size=200).astype(np.uint64)]
+    )
+    hi, lo = split64(queries)
+    args = (np.asarray(hi).reshape(1, -1), np.asarray(lo).reshape(1, -1),
+            np.ones((1, len(queries)), bool))
+    f1, n1, t1, m1 = (np.asarray(x) for x in dev.lookup(*args))
+    devw = idx.to_device(layout="window")
+    f2, n2, t2, m2 = (np.asarray(x) for x in devw.lookup(*args))
+    assert np.array_equal(f1, f2)
+    assert np.array_equal(n1, n2)
+    assert np.array_equal(t1, t2)
+    assert np.array_equal(m1, m2)
+    for j, q in enumerate(queries):
+        host = idx.lookup_host(int(q))
+        if host is None:
+            assert not f1[0, j]
+        else:
+            assert f1[0, j] and n1[0, j] == host[0]
+            assert np.array_equal(t1[0, j][m1[0, j]], host[1])
+
+
+def test_fused_layout_respects_validity_and_auto_policy():
+    rng = np.random.default_rng(8)
+    k = 12
+    kmers, lists = random_db(rng, 64, k, 4)
+    idx = KmerIndex.build(kmers, lists, k, max_tids=4)
+    # auto picks fused for tiny DBs
+    dev = idx.to_device()
+    assert dev.fused_rows is not None
+    hi, lo = split64(kmers[:32])
+    valid = np.zeros((1, 32), bool)
+    valid[0, ::2] = True
+    f, n, t, m = (np.asarray(x) for x in dev.lookup(
+        np.asarray(hi).reshape(1, -1), np.asarray(lo).reshape(1, -1), valid))
+    assert not f[0, 1::2].any()
+    assert f[0, ::2].all()
+    # deep buckets exceed _FUSED_RMAX -> auto falls back to the window layout
+    lows = rng.choice(np.arange(0, 1 << 16, dtype=np.uint64), size=300, replace=False)
+    deep = (np.uint64(0xA) << np.uint64(20)) | lows
+    lists2 = [np.array([5], np.uint32)] * len(deep)
+    idx2 = KmerIndex.build(deep, lists2, k, max_tids=4)
+    dev2 = idx2.to_device()
+    assert dev2.fused_rows is None and dev2.bucket_tab is not None
+    import pytest
+
+    with pytest.raises(ValueError):
+        idx2.to_device(layout="fused")
