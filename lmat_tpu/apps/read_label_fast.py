@@ -80,21 +80,48 @@ class FastClassifier:
             )
             cs = out["cand_sorted"]
             cs = cs.astype(jnp.uint16) if idx16 else cs
+            ss = out["score_sorted"]
             # out["overflow"] is per-read ([B]); the trailing scalar is the
             # router-capacity overflow slot (always 0 single-chip — the
             # sharded subclass fills it)
             ovf = out["overflow"]
             if dedup_frac:
                 ovf = ovf + pr["dedup_ovf"]
-            return ints, flts, cs, out["score_sorted"], ovf, jnp.int32(0)
+
+            # compact candidate transfer: only the PRINTED candidates (the
+            # contiguous score>=0 tail of each sorted row) ship by default —
+            # a [cap] flat stream instead of the dense [B,C] cand+score
+            # arrays, cutting fetch bytes ~2.5x on remote host<->device
+            # links.  The dense arrays stay in the output tuple; _fetch
+            # pulls them only when the flat stream overflows `cap`.
+            B2, C2 = ss.shape
+            j = jnp.arange(C2, dtype=jnp.int32)[None, :]
+            printable = (j >= (C2 - out["n_cand"])[:, None]) & (ss >= 0)
+            m = jnp.sum(printable.astype(jnp.int32), axis=1)
+            cap = self.FLAT_CAP_PER_READ * B2
+            key = jnp.where(
+                printable,
+                jnp.arange(B2, dtype=jnp.int32)[:, None] * C2 + j,
+                jnp.int32(B2 * C2),
+            ).reshape(-1)
+            ssb = jax.lax.bitcast_convert_type(ss, jnp.int32).reshape(-1)
+            _, flat_c, flat_sb = jax.lax.sort(
+                (key, cs.reshape(-1).astype(jnp.int32), ssb), num_keys=1
+            )
+            flat_c = flat_c[:cap]
+            flat_s = jax.lax.bitcast_convert_type(flat_sb[:cap], jnp.float32)
+            flat_ovf = (jnp.sum(m) > cap).astype(jnp.int32)
+            return (ints, flts, cs, ss, ovf, jnp.int32(0),
+                    m, flat_c.astype(cs.dtype), flat_s, flat_ovf)
 
         from ..core.encoding import host_gc_bins
 
         jit_step = jax.jit(step)
 
-        def run(batch_np):
-            return jit_step(self.dev_index, batch_np,
-                            host_gc_bins(np.asarray(batch_np), k))
+        def run(batch_np, gcb=None):
+            if gcb is None:
+                gcb = host_gc_bins(np.asarray(batch_np), k)
+            return jit_step(self.dev_index, batch_np, gcb)
 
         self.step = run
         self.fallback = None
@@ -117,13 +144,42 @@ class FastClassifier:
         batch with a doubled cap); single-chip steps never set the slot."""
         return vals
 
+    # flat candidate-stream budget per read (see the compact-transfer note
+    # in __init__); overflowing batches fall back to the dense fetch
+    FLAT_CAP_PER_READ = 8
+
     def _fetch(self, dev_out):
-        """Device->host transfer of a step result.  The multi-host subclass
-        overrides this to pull only the process-local rows (a global array
-        is not fully addressable from one process)."""
+        """Device->host transfer of a step result, normalized to the
+        (ints, flts, cand_sorted, score_sorted, overflow, router) tuple.
+
+        Single-chip steps emit the compact 10-tuple: the dense [B,C]
+        candidate/score arrays are reconstructed from the flat printed-
+        candidate stream (unshipped slots get score -1, which the print
+        walk skips), and are fetched dense only when the stream overflowed.
+        The multi-host subclass overrides this to pull process-local rows."""
         import jax
 
-        return jax.device_get(dev_out)
+        if len(dev_out) != 10:
+            return jax.device_get(dev_out)
+        ints, flts, ovf, rtr, m, flat_c, flat_s, fovf = jax.device_get(
+            (dev_out[0], dev_out[1], dev_out[4], dev_out[5], dev_out[6],
+             dev_out[7], dev_out[8], dev_out[9])
+        )
+        if int(fovf):
+            cs, ss = jax.device_get((dev_out[2], dev_out[3]))
+            return ints, flts, cs, ss, ovf, rtr
+        B = ints.shape[0]
+        C = self.scorer.cfg.max_candidates
+        cs = np.zeros((B, C), flat_c.dtype)
+        ss = np.full((B, C), -1.0, np.float32)
+        total = int(m.sum())
+        if total:
+            rows = np.repeat(np.arange(B), m)
+            offs = np.cumsum(m) - m
+            posj = (C - m[rows]) + (np.arange(total) - offs[rows])
+            cs[rows, posj] = flat_c[:total]
+            ss[rows, posj] = flat_s[:total]
+        return ints, flts, cs, ss, ovf, rtr
 
     def _overflow_line(self, i, hdr, seq):
         """Classify one overflowing read through the exact host path."""
@@ -199,71 +255,87 @@ class FastClassifier:
 
     # outstanding device_get fetches: each fetch pays the full host<->device
     # round-trip latency, so on remote links several must be in flight for
-    # the transfer time (not the latency) to be the cost per batch
-    FETCH_DEPTH = 3
+    # the transfer time (not the latency) to be the cost per batch (measured
+    # on the axon tunnel: depth 3 -> 6 alone is +17% e2e)
+    FETCH_DEPTH = 6
+    # batches prepared (pad + host GC bins) ahead of dispatch on a producer
+    # thread, so the ~10 ms/batch of host prep overlaps the device step
+    PREP_DEPTH = 3
 
-    def classify_stream(self, batches: list[list[tuple[str, str]]], out=None):
-        """Pipelined classification over multiple batches.
+    def _prep(self, reads, pad_to=None, fixed_rows=None):
+        """Producer-thread half of a step: pad + host GC bins."""
+        from ..core.encoding import host_gc_bins
 
-        Overlapped stages: device steps are dispatched (async) ahead while up
-        to FETCH_DEPTH fetch threads pull completed batches over the
-        host<->device link and the main thread formats them in order.  The
-        fetch round trip — not device compute — is the critical path on
-        remote links, so it gets concurrent threads."""
-        import jax
+        arr = self.pad(reads, pad_to=pad_to, fixed_rows=fixed_rows)
+        return arr, host_gc_bins(arr, self.k)
+
+    def _stream(self, batches, consume, pad_to=None, fixed_rows=None):
+        """Shared pipelined driver: producer thread preps batch i+1..i+3,
+        the main thread dispatches in order, FETCH_DEPTH fetch threads pull
+        completed batches, and `consume(reads, fetched)` runs in order."""
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        all_lines = []
-        with ThreadPoolExecutor(max_workers=self.FETCH_DEPTH) as pool:
-            pend = deque()  # (reads, future of device_get result), in order
+        batches = list(batches)
+        with ThreadPoolExecutor(max_workers=self.FETCH_DEPTH) as pool, \
+                ThreadPoolExecutor(max_workers=1) as prep:
+            pend = deque()  # (reads, future of fetched result), in order
+            preps = {}
 
             def drain(keep):
                 while len(pend) > keep:
                     p_reads, fut = pend.popleft()
-                    all_lines.extend(self._format(p_reads, fut.result(), out))
+                    consume(p_reads, fut.result())
 
-            for reads in batches:
-                dev_out = self.step(self.pad(reads))
+            for i, reads in enumerate(batches):
+                for j in range(i, min(i + self.PREP_DEPTH, len(batches))):
+                    if j not in preps:
+                        preps[j] = prep.submit(
+                            self._prep, batches[j], pad_to, fixed_rows
+                        )
+                arr, gcb = preps.pop(i).result()
+                dev_out = self.step(arr, gcb)
                 pend.append((reads, pool.submit(self._fetch, dev_out)))
                 drain(self.FETCH_DEPTH)
             drain(0)
+
+    def classify_stream(self, batches: list[list[tuple[str, str]]], out=None):
+        """Pipelined classification over multiple batches.
+
+        Overlapped stages: a producer thread preps upcoming batches, device
+        steps are dispatched (async) ahead, and up to FETCH_DEPTH fetch
+        threads pull completed batches over the host<->device link while the
+        main thread formats them in order.  The fetch round trip — not
+        device compute — is the critical path on remote links, so it gets
+        concurrent threads."""
+        all_lines = []
+
+        def consume(reads, fetched):
+            all_lines.extend(self._format(reads, fetched, out))
+
+        self._stream(batches, consume)
         return all_lines
 
     def classify_stream_native(self, batches, out, pad_to=None, fixed_rows=None):
         """Like classify_stream but formats with the native C formatter and
         writes the final byte stream to a binary sink; returns the read
         count.  Requires io.native_writer.native_available()."""
-        import jax
-        from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
-
         n = 0
-        with ThreadPoolExecutor(max_workers=self.FETCH_DEPTH) as pool:
-            pend = deque()
 
-            def drain(keep):
-                nonlocal n
-                while len(pend) > keep:
-                    p_reads, fut = pend.popleft()
-                    data = self.format_native(p_reads, fut.result())
-                    if data is None:
-                        # native formatter unavailable or overflow reroute:
-                        # Python path (handles the exact-path fallback)
-                        lines = self._format(p_reads, fut.result())
-                        data = "".join(
-                            l if l.endswith("\t") else l + "\n" for l in lines
-                        ).encode()
-                    out.write(data)
-                    n += len(p_reads)
+        def consume(reads, fetched):
+            nonlocal n
+            data = self.format_native(reads, fetched)
+            if data is None:
+                # native formatter unavailable or overflow reroute:
+                # Python path (handles the exact-path fallback)
+                lines = self._format(reads, fetched)
+                data = "".join(
+                    l if l.endswith("\t") else l + "\n" for l in lines
+                ).encode()
+            out.write(data)
+            n += len(reads)
 
-            for reads in batches:
-                dev_out = self.step(
-                    self.pad(reads, pad_to=pad_to, fixed_rows=fixed_rows)
-                )
-                pend.append((reads, pool.submit(self._fetch, dev_out)))
-                drain(self.FETCH_DEPTH)
-            drain(0)
+        self._stream(batches, consume, pad_to=pad_to, fixed_rows=fixed_rows)
         return n
 
     def pad(self, reads, pad_to=None, fixed_rows=None):

@@ -184,6 +184,30 @@ class DeviceScorer:
         idd = jnp.take(self.euler_in, d, mode="clip")
         return (ia < idd) & (idd < oa)
 
+    @staticmethod
+    def _permute(order, *fields):
+        """out[b, i] = field[b, order[b, i]] for each field, via a one-hot
+        select.  take_along_axis on batched small operands runs ~8x slower
+        than this on TPU (tools/profile_r3i.py); the integer where+sum is
+        bit-exact for every dtype (floats ride through their int32 bits)."""
+        import jax
+        import jax.numpy as jnp
+
+        S = fields[0].shape[1]
+        oh = order[:, :, None] == jnp.arange(S, dtype=order.dtype)[None, None, :]
+        outs = []
+        for f in fields:
+            if f.dtype == jnp.bool_:
+                outs.append(jnp.any(oh & f[:, None, :], axis=2))
+            elif f.dtype == jnp.float32:
+                b32 = jax.lax.bitcast_convert_type(f, jnp.int32)
+                r = jnp.sum(jnp.where(oh, b32[:, None, :], 0), axis=2)
+                outs.append(jax.lax.bitcast_convert_type(r, jnp.float32))
+            else:
+                r = jnp.sum(jnp.where(oh, f[:, None, :], 0), axis=2)
+                outs.append(r.astype(f.dtype))
+        return outs[0] if len(outs) == 1 else tuple(outs)
+
     # ------------------------------------------------------------------
     def _presence(self, probe, collapse_human=True):
         """Candidate construction + per-candidate presence counts.
@@ -489,13 +513,12 @@ class DeviceScorer:
 
         # formatting-ready views: raw taxids in print order and the call's
         # raw taxid, so the host never has to re-index scorer tables
-        bi = jnp.arange(B)[:, None]
         raw_c = pk[..., 5]
-        tid_sorted = jnp.take_along_axis(raw_c, order, axis=1)
         # node-index view of the sorted candidates: half the transfer bytes of
         # raw taxids when the node count fits uint16 (host maps them back)
-        cand_sorted = jnp.take_along_axis(cand, order, axis=1)
-        score_sorted = jnp.take_along_axis(score, order, axis=1)
+        tid_sorted, cand_sorted, score_sorted = self._permute(
+            order, raw_c, cand, score
+        )
         call_tid = jnp.take(self.node_pack[:, 5], res["call_idx"], mode="clip")
 
         return {
@@ -524,13 +547,11 @@ class DeviceScorer:
         D = self.max_path
         bi = jnp.arange(B)
 
-        cand_s = cand[bi[:, None], order]      # sorted candidate idx [B,C]
-        score_s = score[bi[:, None], order]
-        depth_s = depth_c[bi[:, None], order]
-        valid_s = cmask[bi[:, None], order]
-        e_in_s = e_in_c[bi[:, None], order]
-        e_out_s = e_out_c[bi[:, None], order]
-        pl_s = plasmid_c[bi[:, None], order]
+        # sorted candidate views [B,C]: one fused one-hot select for all
+        # seven fields (see _permute)
+        cand_s, score_s, depth_s, valid_s, e_in_s, e_out_s, pl_s = self._permute(
+            order, cand, score, depth_c, cmask, e_in_c, e_out_c, plasmid_c
+        )
 
         # ancS[b,i,j] = cand_s[i] proper ancestor of cand_s[j]
         ancS = (e_in_s[:, :, None] < e_in_s[:, None, :]) & (
@@ -621,20 +642,21 @@ class DeviceScorer:
         p_in_set = jnp.any(in_cand, axis=2)
         p_score = jnp.where(p_in_set, p_score, F32(UNDEF))
 
-        # combined lineage = lineage members + path entries, sorted depth desc
+        # combined lineage = lineage members + path entries, sorted depth
+        # desc; the candidate half's node attributes are already in the
+        # sorted views, so only the path half gathers node_pack rows
         comb_idx = jnp.concatenate([cand_s, hpath], axis=1)          # [B,C+D]
         comb_score = jnp.concatenate([score_s, p_score], axis=1)
         comb_valid = jnp.concatenate([state["lin"], hvalid], axis=1)
-        comb_pk = jnp.take(self.node_pack, comb_idx, axis=0, mode="clip")
-        comb_depth = comb_pk[..., 2]
-        e_in_comb, e_out_comb = comb_pk[..., 0], comb_pk[..., 1]
+        hpk = jnp.take(self.node_pack, hpath, axis=0, mode="clip")   # [B,D,8]
+        comb_depth = jnp.concatenate([depth_s, hpk[..., 2]], axis=1)
+        e_in_comb = jnp.concatenate([e_in_s, hpk[..., 0]], axis=1)
+        e_out_comb = jnp.concatenate([e_out_s, hpk[..., 1]], axis=1)
         dkey = jnp.where(comb_valid, -comb_depth, 10**6)
         corder = jnp.argsort(dkey, axis=1, stable=True)
-        lin_idx = comb_idx[bi[:, None], corder]
-        lin_score = comb_score[bi[:, None], corder]
-        lin_valid = comb_valid[bi[:, None], corder]
-        e_in_lin = e_in_comb[bi[:, None], corder]
-        e_out_lin = e_out_comb[bi[:, None], corder]
+        lin_idx, lin_score, lin_valid, e_in_lin, e_out_lin = self._permute(
+            corder, comb_idx, comb_score, comb_valid, e_in_comb, e_out_comb
+        )
 
         # --- competing-lineage walk (no_good accumulation) ----------------
         CD = C + D

@@ -117,23 +117,24 @@ class ShardedFastClassifier(FastClassifier):
         repl = NamedSharding(self.mesh, P())
         jitted = jax.jit(step, out_shardings=(rows, rows, rows, rows, rows, repl))
 
-        def run(batch_np):
-            return jitted(*self._stage_batch(batch_np))
+        def run(batch_np, gcb=None):
+            return jitted(*self._stage_batch(batch_np, gcb))
 
         self._runs[cap] = run
         return run
 
-    def _stage_batch(self, batch_np):
+    def _stage_batch(self, batch_np, gcb=None):
         """Host -> global device arrays; the multi-host subclass stages
-        process-local rows instead."""
+        process-local rows instead.  gcb = precomputed host GC bins (the
+        pipelined _stream preps them on a producer thread)."""
         import jax
 
         from ..core.encoding import host_gc_bins
 
+        if gcb is None:
+            gcb = host_gc_bins(np.asarray(batch_np), self.k)
         arr = jax.device_put(batch_np, self._data_sharding)
-        bins = jax.device_put(
-            host_gc_bins(np.asarray(batch_np), self.k), self._data_sharding
-        )
+        bins = jax.device_put(gcb, self._data_sharding)
         return arr, bins
 
     def _resolve_router(self, reads, vals):

@@ -323,7 +323,22 @@ def cmd_db_prep(args):
         print(f"merged -> {args.output}")
 
 
+def _enable_compile_cache():
+    """Persist compiled XLA programs across CLI invocations.  Cold compiles
+    over a remote device link run minutes per program shape; the cache makes
+    every later invocation with the same shapes start in seconds."""
+    try:
+        import jax
+
+        cache = os.environ.get("LMAT_TPU_JAX_CACHE", "/tmp/jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
 def main(argv=None):
+    _enable_compile_cache()
     ap = argparse.ArgumentParser(prog="lmat-tpu")
     ap.add_argument("--lmat-dir", default=None)
     sub = ap.add_subparsers(dest="cmd", required=True)

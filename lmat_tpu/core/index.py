@@ -580,8 +580,25 @@ def probe_fused(fused_rows, R, max_tids, b, lo, valid):
 
     MT = max_tids
     W = 2 + MT
-    row = jnp.take(fused_rows, b, axis=0, mode="clip")  # [..., R*W]
-    rr = row.reshape(row.shape[:-1] + (R, W))
+    # issue the gather as 4 independent slices: the gather engine overlaps
+    # independent gathers ~1.5x (64M vs 44M rows/s, tools/profile_r3i.py)
+    G = 4
+    shape = b.shape
+    Q = 1
+    for s in shape:
+        Q *= s
+    bf = b.reshape(Q)
+    pad = (-Q) % G
+    if pad:
+        bf = jnp.concatenate([bf, jnp.zeros(pad, bf.dtype)])
+    parts = [
+        jnp.take(fused_rows, g, axis=0, mode="clip")
+        for g in bf.reshape(G, (Q + pad) // G)
+    ]
+    row = jnp.concatenate(parts, axis=0)
+    if pad:
+        row = row[:Q]
+    rr = row.reshape(shape + (R, W))
     # suffixes are unique within a bucket and empty slots hold 0xFFFFFFFF
     # (real suffixes are < 2^SUF_BITS), so `hit` is one-hot
     hit = (rr[..., 0] == lo.astype(jnp.uint32)[..., None]) & valid[..., None]

@@ -118,12 +118,14 @@ class MultiHostFastClassifier:
                     fixed_rows=fixed_rows or self.local_rows,
                 )
 
-            def _stage_batch(self, batch_np):
+            def _stage_batch(self, batch_np, gcb=None):
                 import jax
 
                 from ..core.encoding import host_gc_bins
 
-                bins = host_gc_bins(np.asarray(batch_np), self.k)
+                bins = gcb if gcb is not None else host_gc_bins(
+                    np.asarray(batch_np), self.k
+                )
                 B = self.batch
                 arr = jax.make_array_from_process_local_data(
                     self._data_sharding, np.ascontiguousarray(batch_np),
