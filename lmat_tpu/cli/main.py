@@ -330,7 +330,10 @@ def _enable_compile_cache():
     try:
         import jax
 
-        cache = os.environ.get("LMAT_TPU_JAX_CACHE", "/tmp/jax_cache")
+        cache = os.environ.get(
+            "LMAT_TPU_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "lmat_tpu", "jax"),
+        )
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - cache is best-effort

@@ -255,7 +255,8 @@ class KmerIndex:
             idx = np.minimum(ts[:-1, None] + cols, max(len(self.tid_flat) - 1, 0))
             if N:
                 arena[:N, 0] = meta
-                arena[:N, 1:] = np.where(msk, self.tid_flat[idx], 0)
+                if len(self.tid_flat):  # all-empty lists: slots stay zero
+                    arena[:N, 1:] = np.where(msk, self.tid_flat[idx], 0)
             rec = np.zeros((1, 2), np.int32)  # unused in dense mode
             arena_shape = ("dense", 0)
         else:
@@ -336,9 +337,10 @@ class KmerIndex:
         cols = np.arange(MT)[None, :]
         msk = cols < count[:, None]
         idx = np.minimum(ts[:-1, None] + cols, max(len(self.tid_flat) - 1, 0))
-        rows[bi[:, None], col[:, None], 2 + cols] = np.where(
-            msk, self.tid_flat[idx], 0
-        )
+        if len(self.tid_flat):  # all-empty lists: slots stay zero
+            rows[bi[:, None], col[:, None], 2 + cols] = np.where(
+                msk, self.tid_flat[idx], 0
+            )
         return rows.reshape(nb, R * W), R
 
     def to_device(self, device=None, dense_lists: bool | None = None,
@@ -356,6 +358,8 @@ class KmerIndex:
         """
         import jax
 
+        if layout not in ("auto", "fused", "window"):
+            raise ValueError(f"unknown layout {layout!r}: use auto|fused|window")
         put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
         fused = None
         if layout == "fused":

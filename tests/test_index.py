@@ -184,3 +184,25 @@ def test_fused_layout_respects_validity_and_auto_policy():
 
     with pytest.raises(ValueError):
         idx2.to_device(layout="fused")
+
+
+def test_empty_tid_lists_and_layout_validation():
+    # every k-mer stores an EMPTY taxid list: both packers must not index
+    # the empty arena (round-3 advisor finding)
+    k = 12
+    kmers = np.array([3, 77, 1 << 21, (1 << 22) | 5], np.uint64)
+    idx = KmerIndex.build(kmers, [np.zeros(0, np.uint32)] * 4, k, max_tids=4)
+    tables, mode = idx.packed_tables(dense_lists=True)
+    assert tables["arena"][:4, 1:].sum() == 0
+    fused = idx.fused_tables()
+    assert fused is not None
+    dev = idx.to_device()
+    hi, lo = split64(kmers)
+    f, n, t, m = (np.asarray(x) for x in dev.lookup(
+        np.asarray(hi), np.asarray(lo), np.ones(4, bool)))
+    assert f.all() and (n == 0).all() and not m.any()
+    # unknown layout strings raise instead of silently picking windowed
+    import pytest
+
+    with pytest.raises(ValueError):
+        idx.to_device(layout="direct")
