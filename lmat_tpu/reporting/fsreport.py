@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import os
 
+from .py2fmt import py2_str
+
 
 def is_plasmid(plasmids: set, tid: str) -> bool:
     return tid in plasmids or 10000000 <= int(tid) < 20000000
@@ -67,7 +69,10 @@ def get_rank_tid(rank, tid, ranks, parent, plasmids):
 
 
 def fsreport(fsfile: str, rank_lst_str: str, odir: str, tf: TaxFiles,
-             gsfile: str = "", min_gene_cnt: int = 2):
+             gsfile: str = "", min_gene_cnt: int = 2, legacy: bool = False):
+    """legacy=True prints floats with Python-2 str() semantics (the shipped
+    example outputs are py2 products; see reporting/py2fmt.py)."""
+    _s = py2_str if legacy else str
     rank_lst = rank_lst_str.split(",")
     orig = {}
     store = {}
@@ -146,7 +151,7 @@ def fsreport(fsfile: str, rank_lst_str: str, odir: str, tf: TaxFiles,
                 strain_info = ""
                 if top_strain != -1:
                     strain_info = (
-                        "\t" + str(best_wrc) + "\t" + str(best_count)
+                        "\t" + _s(best_wrc) + "\t" + _s(best_count)
                         + "\t" + top_strain + "\t" + orig[top_strain]
                     )
                 gene_lst = gene_store.get(rank, {}).get(tid, [])
@@ -175,13 +180,13 @@ def fsreport(fsfile: str, rank_lst_str: str, odir: str, tf: TaxFiles,
                     pcnt = float(val[4]) / float(val[1])
                     fstr = "%.4f" % pcnt
                     out_str = (
-                        astr + "\t" + str(val[0]) + "\t" + str(val[1]) + "\t" + fstr
-                        + "\t" + str(val[5]) + "\t" + str(val[6]) + "\t"
+                        astr + "\t" + _s(val[0]) + "\t" + _s(val[1]) + "\t" + fstr
+                        + "\t" + _s(val[5]) + "\t" + _s(val[6]) + "\t"
                         + str(val[2]) + "\t" + val[3] + val[7]
                     )
                 else:
                     out_str = (
-                        astr + "\t" + str(val[0]) + "\t" + str(val[1]) + "\t"
+                        astr + "\t" + _s(val[0]) + "\t" + _s(val[1]) + "\t"
                         + str(val[2]) + "\t" + val[3] + val[7]
                     )
                 fh.write(out_str + "\n")

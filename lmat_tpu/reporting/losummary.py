@@ -30,6 +30,64 @@ def read_rank_lineages(path: str) -> dict[int, str]:
     return out
 
 
+def fastsummary_from_out(out_files, rank_ids_file: str, out_path: str,
+                         nomatch_path: str | None = None,
+                         min_score: float = 0.0, min_kmers: int = 30):
+    """Regenerate read_label's .fastsummary/.nomatchsum from its per-thread
+    ``.out`` files (the accumulation of read_label.cpp:1801-1852 replayed
+    from the text outputs): skip ReadTooShort/NoDbHits calls (and reads with
+    fewer than ``min_kmers`` valid k-mers), route calls scoring below
+    ``min_score`` to LowScore, and accumulate (score sum, count) per taxid.
+
+    Validated byte-identical against the reference's shipped example outputs
+    (tests/test_golden_example.py)."""
+    import numpy as np
+
+    from ..apps.read_label_host import (
+        LOW_SCORE, NO_DB_HITS, READ_TOO_SHORT, write_fastsummary,
+        write_nomatchsum,
+    )
+
+    F = np.float32  # the reference accumulates in C++ float
+    track_score: dict[int, float] = {}
+    track_count: dict[int, int] = {}
+    track_nomatch: dict[int, int] = {}
+    for path in out_files:
+        # per-thread partial tallies merged at the end, like the reference's
+        # OpenMP reduction: each .out file sums in float32 first
+        file_score: dict[int, float] = {}
+        with open(path) as f:
+            for raw in f:
+                vals = raw.rstrip("\n").split("\t")
+                if len(vals) < 5:
+                    continue
+                call = vals[4].split(" ")
+                if len(call) < 3:
+                    continue
+                tid, score, typ = int(call[0]), F(call[1]), call[2]
+                if typ == "ReadTooShort":
+                    track_nomatch[READ_TOO_SHORT] = track_nomatch.get(READ_TOO_SHORT, 0) + 1
+                    continue
+                if typ == "NoDbHits":
+                    track_nomatch[NO_DB_HITS] = track_nomatch.get(NO_DB_HITS, 0) + 1
+                    continue
+                stats = vals[2].split(" ")
+                if len(stats) >= 3 and float(stats[2]) < min_kmers:
+                    track_nomatch[READ_TOO_SHORT] = track_nomatch.get(READ_TOO_SHORT, 0) + 1
+                    continue
+                if score < min_score:
+                    track_nomatch[LOW_SCORE] = track_nomatch.get(LOW_SCORE, 0) + 1
+                    continue
+                file_score[tid] = F(file_score.get(tid, F(0))) + score
+                track_count[tid] = track_count.get(tid, 0) + 1
+        for tid, s in file_score.items():
+            track_score[tid] = F(track_score.get(tid, F(0))) + s
+    write_fastsummary(track_score, track_count, out_path, rank_ids_file)
+    if nomatch_path:
+        write_nomatchsum(track_nomatch, nomatch_path)
+    return out_path
+
+
 def losummary(out_file: str, rank_lineages: dict[int, str], sig_thresh: float,
               min_kmers: int, out_base: str | None = None):
     out_base = out_base or out_file

@@ -10,9 +10,16 @@ from __future__ import annotations
 
 import os
 
+from .py2fmt import py2_int_dict_order, py2_str
+
 
 class Summary:
-    def __init__(self, rankfile: str, fsummfile: str, plasmid_file: str):
+    def __init__(self, rankfile: str, fsummfile: str, plasmid_file: str,
+                 legacy: bool = False):
+        # legacy=True reproduces the reference script under Python 2: str()
+        # floats at 12 significant digits and k-coverage columns in py2
+        # small-int dict hash order (see reporting/py2fmt.py)
+        self.legacy = legacy
         self.plasmids = set()
         with open(plasmid_file) as f:
             for ln in f:
@@ -185,6 +192,7 @@ class Summary:
             "Read Count (RC), Original WRC, Original RC, Name, Taxid\n"
         )
         rc_sum = sum(v[3] for v in rep)
+        _s = py2_str if self.legacy else str
         for val in rep:
             rep_id, call_id = val[0], val[1]
             owrc, orc = -1, -1
@@ -198,12 +206,15 @@ class Summary:
             avg = float(wrc) / float(rc)
             tot_pcnt = float(rc) / float(rc_sum)
             pstr = (
-                str(tot_pcnt) + "\t" + str(avg) + "\t" + str(wrc) + "\t" + str(rc)
-                + "\t" + str(owrc) + "\t" + str(orc) + "\t" + prn_name
+                _s(tot_pcnt) + "\t" + _s(avg) + "\t" + _s(wrc) + "\t" + str(rc)
+                + "\t" + _s(owrc) + "\t" + _s(orc) + "\t" + prn_name
                 + "\t" + str(call_id) + "\t" + str(rep_id)
             )
             if rep_id in kcov:
-                for kv in list(kcov[rep_id].keys()):
+                kvs = list(kcov[rep_id].keys())
+                if self.legacy:
+                    kvs = py2_int_dict_order(kvs)
+                for kv in kvs:
                     c = kcov[rep_id][kv]
                     pstr += "\t" + str(kv) + "," + str(c[0]) + "," + str(c[1]) + "," + str(c[2])
             outh.write(pstr + "\n")
