@@ -44,6 +44,7 @@ class ContentSummOptions:
     skip_human: bool = False            # -s
     do_human_reg: bool = False          # -n
     low_num_plasmids: frozenset = field(default_factory=frozenset)  # -p
+    device: bool = False                # TPU data plane (apps/content_device)
 
 
 def _parse_call_field(line: str):
@@ -76,6 +77,12 @@ class ContentSummarizer:
         self._pending: list[tuple[int, bytes]] = []  # (use_tid, read)
         self._pool = None
         self._futures: list = []
+        self._device_chunks: list = []
+        self._flusher = None
+        if opts.device:
+            from .content_device import DeviceFlusher
+
+            self._flusher = DeviceFlusher(opts.k_list, self._flush_batch)
 
     # -- fastsummary load (content_summ.cpp:349-382) -----------------------
 
@@ -160,6 +167,11 @@ class ContentSummarizer:
         pending, self._pending = self._pending, []
         if not pending:
             return
+        if self._flusher is not None:
+            # device flushes run synchronously: the TPU serializes batches
+            # anyway, and dispatch overlaps the next file read
+            self._device_chunks.extend(self._flusher.flush(pending))
+            return
         if self._pool is None:
             import os as _os
             from concurrent.futures import ThreadPoolExecutor
@@ -171,6 +183,9 @@ class ContentSummarizer:
     def _flush(self):
         """Collect all dispatched flushes into kmer_track (main thread)."""
         self._dispatch_flush()
+        for k, tid_val, chunk in self._device_chunks:
+            self.kmer_track[k].setdefault(tid_val, []).append(chunk)
+        self._device_chunks = []
         if self._pool is None:
             return
         for fut in self._futures:
@@ -329,12 +344,27 @@ class ContentSummarizer:
 
         for k in self.opts.k_list:
             chunks = self.kmer_track[k].get(tid, [])
-            arr = (
-                np.concatenate(chunks)
-                if chunks
-                else np.zeros(0, np.uint64)
+            # host chunks are bare per-read-distinct k-mer arrays (weight 1
+            # each); device chunks are (kmers, read-counts) pairs — merge to
+            # per-k-mer totals either way
+            kms, wts = [], []
+            for c in chunks:
+                if isinstance(c, tuple):
+                    kms.append(c[0])
+                    wts.append(c[1])
+                else:
+                    kms.append(c)
+                    wts.append(np.ones(len(c), np.int64))
+            arr = np.concatenate(kms) if kms else np.zeros(0, np.uint64)
+            w = np.concatenate(wts) if wts else np.zeros(0, np.int64)
+            order = np.argsort(arr, kind="stable")
+            sa, sw = arr[order], w[order]
+            bounds = np.nonzero(np.diff(sa))[0] + 1
+            counts = (
+                np.add.reduceat(sw, np.concatenate([[0], bounds]))
+                if sa.size
+                else np.zeros(0, np.int64)
             )
-            _, counts = np.unique(arr, return_counts=True)
             kmer_cnt = int(counts.shape[0])
             kcnt_sum = int(counts.sum())
             cnt_vals, cnt_freq = np.unique(counts, return_counts=True)

@@ -132,7 +132,10 @@ def cmd_content_summ(args):
     tax, files = _load_runtime(args)
     k_list = tuple(int(x) for x in args.k_list.split(","))
     cs = ContentSummarizer(
-        tax, ContentSummOptions(k_list=k_list, rank_check=tuple(args.ranks.split(","))),
+        tax, ContentSummOptions(
+            k_list=k_list, rank_check=tuple(args.ranks.split(",")),
+            device=getattr(args, "device", False),
+        ),
     )
     cs.load_fastsummary(args.fastsummary)
     for p in args.inputs:
@@ -428,6 +431,8 @@ def main(argv=None):
     p.add_argument("-a", "--ranks", default="plasmid,species,genus")
     p.add_argument("--tax-tree"), p.add_argument("--depth")
     p.add_argument("--rank-file"), p.add_argument("--rank-ids")
+    p.add_argument("--device", action="store_true",
+                   help="TPU k-mer counting data plane (host fallback on overflow)")
     p.set_defaults(fn=cmd_content_summ)
 
     p = sub.add_parser("rand-read-label", help="null model observations")

@@ -113,13 +113,16 @@ def test_summary_ordered_example(ex):
         ), rk
 
 
-def test_content_summ_example(ex):
+@pytest.mark.parametrize("device", [False, True])
+def test_content_summ_example(ex, device):
     from lmat_tpu.apps.content_summ import ContentSummarizer, ContentSummOptions
     from lmat_tpu.core.taxonomy import Taxonomy
 
     tax = Taxonomy.from_lmat_file(ex["taxtree"])
     tax.load_rank_file(ex["ranks"])
-    cs = ContentSummarizer(tax, ContentSummOptions(k_list=(8, 10, 12, 14, 17)))
+    cs = ContentSummarizer(
+        tax, ContentSummOptions(k_list=(8, 10, 12, 14, 17), device=device)
+    )
     cs.load_fastsummary(ex["fastsummary"])
     for path in ex["out_files"]:
         cs.process_out_file(path)
