@@ -147,6 +147,11 @@ class GeneLabeler:
             f"{hdr}\t{read}\t{taxid} {fmt_float(tscore)}\t"
             f"\t-1 {best_cnt} {valid_cnt}\t{gl} {fmt_float(gscore)} GL"
         )
+        self._tally(taxid, tscore, gl, gscore, valid_cnt)
+        return out
+
+    def _tally(self, taxid, tscore, gl, gscore, valid_cnt):
+        """Summary accumulation (gene_label.cpp:302-310)."""
         o = self.opts
         if gscore > o.min_score and valid_cnt > o.min_kmer:
             self.track.setdefault(taxid, {}).setdefault(gl, 0)
@@ -158,7 +163,29 @@ class GeneLabeler:
             self.track_tax[taxid][gl] += 1
             self.score_tax.setdefault(taxid, {})
             self.score_tax[taxid][gl] = self.score_tax[taxid].get(gl, F(0)) + gscore
-        return out
+
+    def ingest_out_file(self, path: str):
+        """Replay summary tallies from an existing gene_label ``.out`` file
+        (no DB probes): each row carries the call taxid/tscore and the
+        best-gene (gl, gscore, valid_cnt) this tally needs — so shipped
+        outputs regenerate their own .genesummary files
+        (tests/test_golden_example.py)."""
+        with open(path) as f:
+            for raw in f:
+                vals = raw.rstrip("\n").split("\t")
+                if len(vals) < 6:
+                    continue
+                call = vals[2].split(" ")
+                stats = vals[4].split(" ")
+                gcall = vals[5].split(" ")
+                if len(call) < 2 or len(stats) < 3 or len(gcall) < 3:
+                    continue
+                taxid = int(call[0])
+                tscore = F(call[1])
+                valid_cnt = int(stats[2])
+                gl = int(gcall[0])
+                gscore = F(gcall[1])
+                self._tally(taxid, tscore, gl, gscore, valid_cnt)
 
     def run_files(self, out_files: list[str], ofbase: str, device: bool = False):
         """One output file per input file (thread-per-file in the reference).

@@ -138,3 +138,76 @@ def test_content_summ_example(ex, device):
             open(f"{base}.{rk}_kmer_cov", "rb").read()
             == _ship(ex, f".summ.{rk}_kmer_cov")
         ), rk
+
+
+def test_genesummary_regen(ex):
+    """Regenerate both gene summaries from the shipped gl_output .out files.
+
+    The gene annotation table is reconstructed from the summaries themselves
+    (each row carries its annotation line; the unfiltered summary was sorted
+    by run_gl.sh so its order is annotation-independent after we re-sort the
+    same way, and the min_tax_score file preserves annotation order for its
+    subset).  Run: gene_label -x 0.1 -q 20 -b 0 (run_gl.sh + shipped names).
+    """
+    from lmat_tpu.apps.gene_label import GeneLabeler, GeneLabelOptions
+
+    exdir = ex["exdir"]
+    gl_base = os.path.join(exdir, example_replay.GL_BASE)
+    ship_sorted = gl_base + ".0.1.20.genesummary"
+    ship_tax = ship_sorted + ".min_tax_score.0"
+
+    def annot(path):
+        seen, order = set(), []
+        for ln in open(path):
+            a = ln.rstrip("\n").split("\t", 3)[3]
+            if a not in seen:
+                seen.add(a)
+                order.append(a)
+        return order
+
+    gene_table = list(annot(ship_tax))
+    extra = [a for a in annot(ship_sorted) if a not in set(gene_table)]
+    table_path = os.path.join(ex["odir"], "gene_table.txt")
+    with open(table_path, "w") as f:
+        for a in gene_table + extra:
+            f.write(a + "\n")
+
+    lab = GeneLabeler(None, GeneLabelOptions(min_score=0.1, min_kmer=20,
+                                             min_tax_score=0.0))
+    for i in range(8):
+        lab.ingest_out_file(f"{gl_base}{i}.out")
+    obase = os.path.join(ex["odir"], "gl_regen")
+    lab.write_summaries(table_path, obase)
+
+    import math
+
+    def rows(path):
+        return [l.split("\t", 1) for l in open(path).read().splitlines()]
+
+    def assert_rows_match(got, want):
+        """Columns 2+ byte-exact per row; column 1 (a float32 average of
+        scores re-parsed from 6-digit text) to the last printed digit +-1."""
+        assert len(got) == len(want)
+        gd = {rest: col1 for col1, rest in got}
+        for col1, rest in want:
+            assert rest in gd, rest
+            fw = float(col1)
+            q = 10.0 ** (math.floor(math.log10(abs(fw))) - 5) if fw else 1e-6
+            assert abs(float(gd[rest]) - fw) <= 1.01 * q, (gd[rest], col1)
+
+    got_tax = rows(obase + ".0.1.20.genesummary.min_tax_score.0")
+    want_tax = rows(ship_tax)
+    assert_rows_match(got_tax, want_tax)
+    # row ORDER must match exactly (annotation-table iteration + sorted labels)
+    assert [r for _, r in got_tax] == [r for _, r in want_tax]
+
+    # the unfiltered summary was piped through `sort -k1gr,1gr` (run_gl.sh):
+    # descending general-numeric col 1, last-resort whole-line byte order.
+    # Validate the sort emulation on the shipped bytes themselves, then the
+    # regenerated content with the same column-1 tolerance.
+    def gnusort(lines):
+        return sorted(lines, key=lambda l: (-float(l.split("\t", 1)[0]), l))
+
+    ship_lines = open(ship_sorted).read().splitlines(True)
+    assert gnusort(ship_lines) == ship_lines
+    assert_rows_match(rows(obase + ".0.1.20.genesummary"), rows(ship_sorted))
