@@ -224,6 +224,7 @@ def main():
                 "value": round(rps, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 2),
+                "setup_s": round(time.time() - t_setup - dt - dt2, 1),
             }
         )
     )

@@ -85,6 +85,118 @@ def fine_bucket_tab(kmers, e):
     return tab, depth
 
 
+def paged_records(idx, kmers, e, rec2):
+    """v7 layout: (suffix, ts, meta) records packed into 32-slot pages such
+    that no fine bucket straddles a page (count-class packing, ~8% waste).
+    bucket_tab[b] = (global slot pos, count); probe = bucket_tab gather +
+    ONE 384B page gather + in-row select, then the aligned-arena gather.
+
+    Returns (bucket_tab2 [nb,2] int32, pages [n_pages, 96] uint32) with
+    planar rows: [32 suffix | 32 ts | 32 meta]; ts/meta come from the
+    aligned arena's rec2.  Requires max bucket <= 32.
+    """
+    P = 32
+    nb = 1 << (2 * K - SUF_BITS + e)
+    b = (kmers >> np.uint64(SUF_BITS - e)).astype(np.int64)
+    counts = np.zeros(nb, np.int64)
+    np.add.at(counts, b, 1)
+    assert counts.max() <= P, "bucket deeper than a page: lower e"
+    # count-class packing: buckets with count c go per_page=32//c per page
+    pos = np.zeros(nb, np.int64)
+    page_base = 0
+    for c in range(1, P + 1):
+        sel = np.nonzero(counts == c)[0]
+        if not sel.size:
+            continue
+        per = P // c
+        n_pages_c = (len(sel) + per - 1) // per
+        i = np.arange(len(sel))
+        pos[sel] = (page_base + i // per) * P + (i % per) * c
+        page_base += n_pages_c
+    pages = np.zeros((max(page_base, 1), 3, P), np.uint32)
+    pages[:, 0, :] = 0xFFFFFFFF  # empty suffix slots never match
+    # scatter each k-mer to its bucket's slot run
+    bs = np.zeros(nb + 1, np.int64)
+    np.cumsum(counts, out=bs[1:])
+    rank = np.arange(idx.n_kmers) - np.repeat(bs[:-1], counts)
+    slot = np.repeat(pos, counts) + rank
+    pg, off = slot // P, slot % P
+    pages[pg, 0, off] = idx.suffix
+    pages[pg, 1, off] = rec2[:, 0]
+    pages[pg, 2, off] = rec2[:, 1]
+    log(f"paged records: {page_base:,} pages = "
+        f"{page_base*P/max(idx.n_kmers,1):.2f} slots/kmer")
+    return np.stack([pos, counts], axis=1).astype(np.int32), pages.reshape(
+        max(page_base, 1), 3 * P
+    )
+
+
+def paged_records_wide(idx, kmers, e):
+    """v9 layout: like v7 pages but each slot inlines its full taxid list
+    (suffix, meta, tids[MT]) so the arena gather disappears entirely:
+    bucket_tab + ONE 1.28KB page row = the whole lookup (2 gathers).
+    Memory ~ (2+MT)*4 * 1.11 bytes/kmer — the speed end of the
+    speed/capacity dial."""
+    P = 32
+    MT = idx.max_tids
+    W = 2 + MT
+    nb = 1 << (2 * K - SUF_BITS + e)
+    b = (kmers >> np.uint64(SUF_BITS - e)).astype(np.int64)
+    counts = np.zeros(nb, np.int64)
+    np.add.at(counts, b, 1)
+    assert counts.max() <= P
+    pos = np.zeros(nb, np.int64)
+    page_base = 0
+    for c in range(1, P + 1):
+        sel = np.nonzero(counts == c)[0]
+        if not sel.size:
+            continue
+        per = P // c
+        n_pages_c = (len(sel) + per - 1) // per
+        i = np.arange(len(sel))
+        pos[sel] = (page_base + i // per) * P + (i % per) * c
+        page_base += n_pages_c
+    pages = np.zeros((max(page_base, 1), P, W), np.uint32)
+    pages[:, :, 0] = 0xFFFFFFFF
+    bs = np.zeros(nb + 1, np.int64)
+    np.cumsum(counts, out=bs[1:])
+    rank = np.arange(idx.n_kmers) - np.repeat(bs[:-1], counts)
+    slot = np.repeat(pos, counts) + rank
+    pg, off = slot // P, slot % P
+    pages[pg, off, 0] = idx.suffix
+    ts = idx.tid_start.astype(np.int64)
+    cnt_k = np.diff(ts)
+    pages[pg, off, 1] = (cnt_k.astype(np.uint32) << 16) | idx.ng.astype(np.uint32)
+    cols = np.arange(MT)[None, :]
+    msk = cols < cnt_k[:, None]
+    src = np.minimum(ts[:-1, None] + cols, max(len(idx.tid_flat) - 1, 0))
+    if len(idx.tid_flat):
+        pages[pg[:, None], off[:, None], 2 + cols] = np.where(
+            msk, idx.tid_flat[src], 0
+        )
+    log(f"paged-wide: {page_base:,} pages, "
+        f"{page_base*P*W*4/max(idx.n_kmers,1):.1f} B/kmer")
+    return np.stack([pos, counts], axis=1).astype(np.int32), pages.reshape(
+        max(page_base, 1), P * W
+    )
+
+
+def interleaved_windows(idx, rec2):
+    """v8 layout: the overlapping suffix windows with (ts, meta) planes in
+    the same rows, so the rec gather disappears: row r = [64 suffix | 64 ts
+    | 64 meta] covering positions [32r, 32r+64)."""
+    W = 32
+    N = idx.n_kmers
+    rows = (N + W - 1) // W + 1
+    flat = np.zeros(((rows + 1) * W, 3), np.uint32)
+    flat[:, 0] = 0xFFFFFFFF
+    flat[:N, 0] = idx.suffix
+    flat[:N, 1] = rec2[:, 0]
+    flat[:N, 2] = rec2[:, 1]
+    idx2 = np.arange(rows)[:, None] * W + np.arange(2 * W)[None, :]
+    return flat[idx2].transpose(0, 2, 1).reshape(rows, 6 * W)  # planar
+
+
 def aligned_arena(idx):
     """Repack tid lists so each occupies one pow2 slot, slot-aligned, so no
     list straddles an A-row boundary: the record fetch becomes ONE row
@@ -137,18 +249,41 @@ def main():
     e = min(e, SUF_BITS - 6)
     ftab, fdepth = fine_bucket_tab(kmers, e)
     arena2_np, rec2_np = aligned_arena(idx)
+    ptab_np = pages_np = iw_np = ptab9_np = pages9_np = None
+    if "v7" in VARIANTS:
+        ptab_np, pages_np = paged_records(idx, kmers, e, rec2_np)
+    if "v8" in VARIANTS:
+        iw_np = interleaved_windows(idx, rec2_np)
+    if "v9" in VARIANTS:
+        ptab9_np, pages9_np = paged_records_wide(idx, kmers, e)
 
     put = jax.device_put
     t0 = time.time()
-    bucket_tab = put(tables["bucket_tab"])
-    suffix_over = put(tables["suffix_over"])
-    rec = put(tables["rec"])
-    arena = put(tables["arena"])
-    ftab_d = put(ftab)
-    arena2 = put(arena2_np)
-    rec2 = put(rec2_np)
-    jax.block_until_ready(arena2)
-    log(f"upload {(sum(x.nbytes for x in (bucket_tab,suffix_over,rec,arena,ftab_d,arena2,rec2)))/1e9:.2f} GB in {time.time()-t0:.1f}s")
+    # all tables live in one dict passed as a jit ARGUMENT: closure capture
+    # would embed GBs as HLO constants (NOTES.md); only requested variants'
+    # tables are uploaded (HBM budget)
+    need_base = {"v0", "v1", "v2", "v3"} & set(VARIANTS)
+    T = {"ftab": put(ftab)}
+    if need_base:
+        T["bucket_tab"] = put(tables["bucket_tab"])
+        T["suffix_over"] = put(tables["suffix_over"])
+        T["rec"] = put(tables["rec"])
+        T["arena"] = put(tables["arena"])
+    if {"v4", "v5", "v6", "v7", "v8"} & set(VARIANTS):
+        T["arena2"] = put(arena2_np)
+        T["rec2"] = put(rec2_np)
+    if {"v4", "v5", "v6", "v8"} & set(VARIANTS):
+        T.setdefault("suffix_over", put(tables["suffix_over"]))
+    if ptab_np is not None:
+        T["ptab"] = put(ptab_np)
+        T["pages"] = put(pages_np)
+    if iw_np is not None:
+        T["iw"] = put(iw_np)
+    if ptab9_np is not None:
+        T["ptab9"] = put(ptab9_np)
+        T["pages9"] = put(pages9_np)
+    jax.block_until_ready(T["arena2"])
+    log(f"upload {(sum(x.nbytes for x in T.values()))/1e9:.2f} GB in {time.time()-t0:.1f}s")
 
     # query pool: ITER+1 shifted windows over Q+ITER entries
     rng = np.random.default_rng(77)
@@ -176,17 +311,17 @@ def main():
         ]
         return jnp.concatenate(parts, axis=0)
 
-    def probe_v4(b, lo, valid, depth, btab, G=1):
+    def probe_v4(T, b, lo, valid, depth, G=1):
         """probe_packed's front half + single-gather aligned-arena fetch."""
         W = KmerIndex._WIN
-        bt = take_split(btab, b, G)
+        bt = take_split(T["ftab"], b, G)
         left = bt[..., 0]
         n = bt[..., 1]
         end = left + n
         lo_u = lo.astype(jnp.uint32)
         lgw = W.bit_length() - 1
         if depth > lgw:
-            suffix_flat = suffix_over.reshape(-1)
+            suffix_flat = T["suffix_over"].reshape(-1)
             for _ in range(depth - lgw):
                 half = n >> 1
                 mid = left + half
@@ -196,7 +331,7 @@ def main():
                 left = jnp.where(go_right, mid + 1, left)
                 n = jnp.where(go_right, n - half - 1, half)
         r = left >> lgw
-        win = take_split(suffix_over, r, G)
+        win = take_split(T["suffix_over"], r, G)
         j = jnp.arange(2 * W, dtype=jnp.int32)
         pos_j = (r << lgw)[..., None] + j
         hit = (
@@ -207,11 +342,15 @@ def main():
         )
         found = valid & jnp.any(hit, axis=-1)
         pos = (r << lgw) + jnp.argmax(hit, axis=-1).astype(jnp.int32)
-        rc = take_split(rec2, pos, G)
+        rc = take_split(T["rec2"], pos, G)
         ts = rc[..., 0].astype(jnp.uint32)
         meta = jnp.where(found, rc[..., 1].astype(jnp.uint32), jnp.uint32(0)).astype(jnp.int32)
+        return fetch_aligned(T, ts, meta, found, G)
+
+    def fetch_aligned(T, ts, meta, found, G=1):
+        """Single-gather record fetch from the slot-aligned arena."""
         ra = (ts >> lga).astype(jnp.int32)
-        w = take_split(arena2, ra, G)
+        w = take_split(T["arena2"], ra, G)
         w2 = jnp.concatenate([w, w], axis=-1)
         sh = (ts & (A - 1)).astype(jnp.int32)
         rows = jnp.zeros(w.shape[:-1] + (MT,), w.dtype)
@@ -223,20 +362,91 @@ def main():
         tids = jnp.where(tmask, rows, jnp.uint32(0))
         return found, ngv, tids, tmask
 
+    def probe_v7(T, b, lo, valid):
+        """paged-records probe: bucket_tab + ONE page row + aligned arena."""
+        bt = jnp.take(T["ptab"], b, axis=0, mode="clip")
+        pos = bt[..., 0]
+        cnt = bt[..., 1]
+        row = jnp.take(T["pages"], pos >> 5, axis=0, mode="clip")  # [..., 96]
+        off = pos & 31
+        j = jnp.arange(32, dtype=jnp.int32)
+        inb = (j >= off[..., None]) & (j < (off + cnt)[..., None])
+        hit = inb & (row[..., :32] == lo.astype(jnp.uint32)[..., None]) & valid[..., None]
+        found = jnp.any(hit, axis=-1)
+        ts = jnp.sum(jnp.where(hit, row[..., 32:64], jnp.uint32(0)), axis=-1)
+        meta = jnp.sum(
+            jnp.where(hit, row[..., 64:96], jnp.uint32(0)), axis=-1
+        ).astype(jnp.int32)
+        return fetch_aligned(T, ts, meta, found)
+
+    def probe_v9(T, b, lo, valid):
+        """paged-wide probe: bucket_tab + ONE page row with inline tids."""
+        W9 = 2 + MT
+        bt = jnp.take(T["ptab9"], b, axis=0, mode="clip")
+        pos = bt[..., 0]
+        cnt = bt[..., 1]
+        row = jnp.take(T["pages9"], pos >> 5, axis=0, mode="clip")
+        rr = row.reshape(row.shape[:-1] + (32, W9))
+        off = pos & 31
+        j = jnp.arange(32, dtype=jnp.int32)
+        inb = (j >= off[..., None]) & (j < (off + cnt)[..., None])
+        hit = inb & (rr[..., 0] == lo.astype(jnp.uint32)[..., None]) & valid[..., None]
+        found = jnp.any(hit, axis=-1)
+        rec = jnp.sum(jnp.where(hit[..., None], rr[..., 1:], jnp.uint32(0)), axis=-2)
+        meta = rec[..., 0].astype(jnp.int32)
+        count = meta >> 16
+        ngv = meta & 0xFFFF
+        tmask = (jnp.arange(MT, dtype=jnp.int32) < count[..., None]) & found[..., None]
+        tids = jnp.where(tmask, rec[..., 1:], jnp.uint32(0))
+        return found, ngv, tids, tmask
+
+    def probe_v8(T, b, lo, valid):
+        """interleaved overlap-window probe: ftab + ONE 768B window row
+        (suffix/ts/meta planes) + aligned arena."""
+        W = KmerIndex._WIN
+        lgw = W.bit_length() - 1
+        bt = jnp.take(T["ftab"], b, axis=0, mode="clip")
+        left = bt[..., 0]
+        n = bt[..., 1]
+        end = left + n
+        lo_u = lo.astype(jnp.uint32)
+        r = left >> lgw
+        row = jnp.take(T["iw"], r, axis=0, mode="clip")  # [..., 6W]
+        win = row[..., : 2 * W]
+        j = jnp.arange(2 * W, dtype=jnp.int32)
+        pos_j = (r << lgw)[..., None] + j
+        hit = (
+            (pos_j >= left[..., None])
+            & (pos_j <= (left + n)[..., None])
+            & (pos_j < end[..., None])
+            & (win == lo_u[..., None])
+            & valid[..., None]
+        )
+        found = jnp.any(hit, axis=-1)
+        ts = jnp.sum(jnp.where(hit, row[..., 2 * W : 4 * W], jnp.uint32(0)), axis=-1)
+        meta = jnp.sum(
+            jnp.where(hit, row[..., 4 * W : 6 * W], jnp.uint32(0)), axis=-1
+        ).astype(jnp.int32)
+        return fetch_aligned(T, ts, meta, found)
+
     def mk_coarse(depth):
-        def f(h, l, v):
-            return probe_packed(bucket_tab, suffix_over, rec, arena,
-                                arena_mode, depth, MT, h.astype(jnp.int32), l, v)
+        def f(T, h, l, v):
+            return probe_packed(T["bucket_tab"], T["suffix_over"], T["rec"],
+                                T["arena"], arena_mode, depth, MT,
+                                h.astype(jnp.int32), l, v)
         return f
 
     def mk_fine(use_packed=True, G=1):
-        def f(h, l, v):
+        def f(T, h, l, v):
             b = (h.astype(jnp.int32) << e) | (l >> (SUF_BITS - e)).astype(jnp.int32)
             if use_packed:
-                return probe_packed(ftab_d, suffix_over, rec, arena,
-                                    arena_mode, fdepth, MT, b, l, v)
-            return probe_v4(b, l, v, fdepth, ftab_d, G=G)
+                return probe_packed(T["ftab"], T["suffix_over"], T["rec"],
+                                    T["arena"], arena_mode, fdepth, MT, b, l, v)
+            return probe_v4(T, b, l, v, fdepth, G=G)
         return f
+
+    def fine_b(h, l):
+        return (h.astype(jnp.int32) << e) | (l >> (SUF_BITS - e)).astype(jnp.int32)
 
     probes = {
         "v0": (mk_coarse(idx.search_depth), False),
@@ -246,23 +456,30 @@ def main():
         "v4": (mk_fine(False, G=1), False),
         "v5": (mk_fine(False, G=4), False),
         "v6": (mk_fine(False, G=4), True),
+        "v7": (lambda T, h, l, v: probe_v7(T, fine_b(h, l), l, v), False),
+        "v8": (lambda T, h, l, v: probe_v8(T, fine_b(h, l), l, v), False),
+        "v9": (lambda T, h, l, v: probe_v9(T, fine_b(h, l), l, v), False),
     }
 
     # correctness: fixed query window, checksum tuple must match v0
     def checksum(fn):
         @jax.jit
-        def g(h, l):
-            f, ng, t, m = fn(h, l, jnp.ones(Q, bool))
+        def g(T, h, l):
+            f, ng, t, m = fn(T, h, l, jnp.ones(Q, bool))
             return f.sum(), ng.sum(), t.astype(jnp.uint32).sum(), m.sum()
-        return tuple(int(x) for x in g(hi_p[:Q], lo_p[:Q]))
+        return tuple(int(x) for x in g(T, hi_p[:Q], lo_p[:Q]))
 
-    ref = checksum(probes["v0"][0])
-    log(f"v0 checksum {ref}")
+    ref = ref_name = None
     for name in VARIANTS:
-        if name in ("v0", "v1"):
+        if probes[name][1]:  # sorted-input twins share the unsorted fn
             continue
+        t0 = time.time()
         got = checksum(probes[name][0])
-        assert got == ref, f"{name} checksum {got} != v0 {ref}"
+        log(f"{name} checksum {got} ({time.time()-t0:.0f}s)")
+        if ref is None:
+            ref, ref_name = got, name
+        else:
+            assert got == ref, f"{name} checksum {got} != {ref_name} {ref}"
     log("checksums agree")
 
     res = {"n_kmers": idx.n_kmers, "Q": Q, "e": e, "fine_depth": fdepth,
@@ -272,20 +489,20 @@ def main():
         h_p, l_p = (shi_p, slo_p) if sorted_q else (hi_p, lo_p)
 
         @jax.jit
-        def g(h, l):
+        def g(T, h, l):
             def body(c, i):
                 hh = lax.dynamic_slice(h, (i,), (Q,))
                 ll = lax.dynamic_slice(l, (i,), (Q,))
-                f, ng, t, m = fn(hh, ll, jnp.ones(Q, bool))
+                f, ng, t, m = fn(T, hh, ll, jnp.ones(Q, bool))
                 return (c + f.sum() + ng.sum() + m.sum()
                         + t.astype(jnp.uint32).sum().astype(jnp.int32), 0)
             c, _ = lax.scan(body, jnp.int32(0), jnp.arange(ITER))
             return c
 
-        jax.block_until_ready(g(h_p, l_p))
+        jax.block_until_ready(g(T, h_p, l_p))
         t0 = time.time()
         for _ in range(3):
-            out = g(h_p, l_p)
+            out = g(T, h_p, l_p)
         jax.block_until_ready(out)
         return (time.time() - t0) / 3 / ITER
 
