@@ -132,26 +132,31 @@ def make_sharded_lookup(mesh, sidx: ShardedIndex, q_per_device: int, cap: int | 
         owner = jnp.clip(hi.astype(jnp.int32) // per, 0, S - 1)
         order = jnp.argsort(owner, stable=True)
         s_owner = owner[order]
-        group_start = jnp.searchsorted(s_owner, jnp.arange(S, dtype=jnp.int32))
+        bounds = jnp.searchsorted(s_owner, jnp.arange(S + 1, dtype=jnp.int32))
+        group_start = bounds[:-1]
+        counts = bounds[1:] - group_start
         pos_in_group = jnp.arange(Q, dtype=jnp.int32) - group_start[s_owner]
-        counts = jnp.bincount(owner, length=S)
         overflow = jax.lax.pmax(
             jnp.max(jnp.maximum(counts - cap, 0)), ("data", "db")
         )
 
-        def scatter(vals, fill):
-            buf = jnp.full((S, cap) + vals.shape[1:], fill, vals.dtype)
-            ok = pos_in_group < cap
-            return buf.at[s_owner, jnp.where(ok, pos_in_group, 0)].set(
-                jnp.where(
-                    ok.reshape((-1,) + (1,) * (vals.ndim - 1)), vals[order], buf[0, 0]
-                ),
-                mode="drop",
-            )
+        # send-buffer packing as a GATHER from the owner-sorted order (row
+        # scatters run ~7x slower than gathers on TPU — NOTES.md op costs):
+        # slot (s, c) pulls sorted query group_start[s]+c when c < counts[s]
+        slot_src = group_start[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+        slot_ok = jnp.arange(cap, dtype=jnp.int32)[None, :] < counts[:, None]
+        src_q = jnp.take(order, jnp.clip(slot_src, 0, Q - 1), mode="clip")
 
-        send_hi = scatter(hi, 0)
-        send_lo = scatter(lo, 0)
-        send_valid = scatter(valid, False)
+        def pack(vals, fill):
+            picked = jnp.take(vals, src_q.reshape(-1), axis=0).reshape(
+                (S, cap) + vals.shape[1:]
+            )
+            ok = slot_ok.reshape((S, cap) + (1,) * (vals.ndim - 1))
+            return jnp.where(ok, picked, fill)
+
+        send_hi = pack(hi, 0)
+        send_lo = pack(lo, 0)
+        send_valid = pack(valid, False)
 
         a2a = lambda x: jax.lax.all_to_all(x, "db", split_axis=0, concat_axis=0)
         recv_hi = a2a(send_hi)
@@ -194,4 +199,7 @@ def make_sharded_lookup(mesh, sidx: ShardedIndex, q_per_device: int, cap: int | 
             hi, lo, valid,
         )
 
-    return jax.jit(wrapped)
+    out = jax.jit(wrapped)
+    out.sharded_fn = fn  # raw shard_map callable (tables passed explicitly);
+    # composable under an outer jit/scan for on-chip timing harnesses
+    return out

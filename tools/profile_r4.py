@@ -181,6 +181,45 @@ def paged_records_wide(idx, kmers, e):
     )
 
 
+def onehop_pages(idx, kmers, e, s):
+    """v10 layout: ONE gather per lookup.  Groups of 2^s consecutive fine
+    buckets share a direct-indexed page row holding every member's full
+    record inline: slot = (lo u32, meta, tids[MT]).  No bucket table at all:
+    page id = kmer prefix bits; the row IS the whole lookup.  P = measured
+    max group occupancy (padded to a multiple of 8), so the layout adapts to
+    skew at build time; memory ~ (2+MT)*4 * P/mean B/kmer — the speed end of
+    the dial (group mean ~ 6*2^s)."""
+    MT = idx.max_tids
+    W = 2 + MT
+    gb = 2 * K - SUF_BITS + e - s
+    g = (kmers >> np.uint64(2 * K - gb)).astype(np.int64)
+    ng_groups = 1 << gb
+    counts = np.zeros(ng_groups, np.int64)
+    np.add.at(counts, g, 1)
+    P = int(-(-int(counts.max()) // 8) * 8)
+    pages = np.zeros((ng_groups, P, W), np.uint32)
+    pages[:, :, 0] = 0xFFFFFFFF
+    bs = np.zeros(ng_groups + 1, np.int64)
+    np.cumsum(counts, out=bs[1:])
+    rank = np.arange(idx.n_kmers) - np.repeat(bs[:-1], counts)
+    lo_all = (kmers & np.uint64((1 << SUF_BITS) - 1)).astype(np.uint32)
+    pages[g, rank, 0] = lo_all
+    ts = idx.tid_start.astype(np.int64)
+    cnt_k = np.diff(ts)
+    pages[g, rank, 1] = (cnt_k.astype(np.uint32) << 16) | idx.ng.astype(np.uint32)
+    cols = np.arange(MT)[None, :]
+    msk = cols < cnt_k[:, None]
+    src = np.minimum(ts[:-1, None] + cols, max(len(idx.tid_flat) - 1, 0))
+    if len(idx.tid_flat):
+        pages[g[:, None], rank[:, None], 2 + cols] = np.where(
+            msk, idx.tid_flat[src], 0
+        )
+    log(f"onehop: {ng_groups:,} pages x {P} slots x {W*4}B = "
+        f"{ng_groups*P*W*4/1e9:.2f} GB = "
+        f"{ng_groups*P*W*4/max(idx.n_kmers,1):.1f} B/kmer (max occ {int(counts.max())})")
+    return pages.reshape(ng_groups, P * W), P, gb
+
+
 def interleaved_windows(idx, rec2):
     """v8 layout: the overlapping suffix windows with (ts, meta) planes in
     the same rows, so the rec gather disappears: row r = [64 suffix | 64 ts
@@ -249,13 +288,16 @@ def main():
     e = min(e, SUF_BITS - 6)
     ftab, fdepth = fine_bucket_tab(kmers, e)
     arena2_np, rec2_np = aligned_arena(idx)
-    ptab_np = pages_np = iw_np = ptab9_np = pages9_np = None
+    ptab_np = pages_np = iw_np = ptab9_np = pages9_np = pages10_np = None
     if "v7" in VARIANTS:
         ptab_np, pages_np = paged_records(idx, kmers, e, rec2_np)
     if "v8" in VARIANTS:
         iw_np = interleaved_windows(idx, rec2_np)
-    if "v9" in VARIANTS:
+    if {"v9", "v9s"} & set(VARIANTS):
         ptab9_np, pages9_np = paged_records_wide(idx, kmers, e)
+    if "v10" in VARIANTS:
+        s10 = int(os.environ.get("ONEHOP_S", 2))
+        pages10_np, P10, gb10 = onehop_pages(idx, kmers, e, s10)
 
     put = jax.device_put
     t0 = time.time()
@@ -282,7 +324,9 @@ def main():
     if ptab9_np is not None:
         T["ptab9"] = put(ptab9_np)
         T["pages9"] = put(pages9_np)
-    jax.block_until_ready(T["arena2"])
+    if pages10_np is not None:
+        T["pages10"] = put(pages10_np)
+    jax.block_until_ready(list(T.values())[-1])
     log(f"upload {(sum(x.nbytes for x in T.values()))/1e9:.2f} GB in {time.time()-t0:.1f}s")
 
     # query pool: ITER+1 shifted windows over Q+ITER entries
@@ -400,6 +444,28 @@ def main():
         tids = jnp.where(tmask, rec[..., 1:], jnp.uint32(0))
         return found, ngv, tids, tmask
 
+    def probe_v10(T, h, lo, valid):
+        """onehop probe: page id from the kmer prefix, ONE page-row gather."""
+        W10 = 2 + MT
+        d = gb10 - (2 * K - SUF_BITS)  # group bits borrowed from lo (may be <0)
+        if d >= 0:
+            g = (h.astype(jnp.int32) << d) | (
+                lo >> (SUF_BITS - d)
+            ).astype(jnp.int32)
+        else:
+            g = h.astype(jnp.int32) >> (-d)
+        row = jnp.take(T["pages10"], g, axis=0, mode="clip")
+        rr = row.reshape(row.shape[:-1] + (P10, W10))
+        hit = (rr[..., 0] == lo.astype(jnp.uint32)[..., None]) & valid[..., None]
+        found = jnp.any(hit, axis=-1)
+        rec = jnp.sum(jnp.where(hit[..., None], rr[..., 1:], jnp.uint32(0)), axis=-2)
+        meta = rec[..., 0].astype(jnp.int32)
+        count = meta >> 16
+        ngv = meta & 0xFFFF
+        tmask = (jnp.arange(MT, dtype=jnp.int32) < count[..., None]) & found[..., None]
+        tids = jnp.where(tmask, rec[..., 1:], jnp.uint32(0))
+        return found, ngv, tids, tmask
+
     def probe_v8(T, b, lo, valid):
         """interleaved overlap-window probe: ftab + ONE 768B window row
         (suffix/ts/meta planes) + aligned arena."""
@@ -459,6 +525,8 @@ def main():
         "v7": (lambda T, h, l, v: probe_v7(T, fine_b(h, l), l, v), False),
         "v8": (lambda T, h, l, v: probe_v8(T, fine_b(h, l), l, v), False),
         "v9": (lambda T, h, l, v: probe_v9(T, fine_b(h, l), l, v), False),
+        "v9s": (lambda T, h, l, v: probe_v9(T, fine_b(h, l), l, v), True),
+        "v10": (probe_v10, False),
     }
 
     # correctness: fixed query window, checksum tuple must match v0
@@ -469,7 +537,12 @@ def main():
             return f.sum(), ng.sum(), t.astype(jnp.uint32).sum(), m.sum()
         return tuple(int(x) for x in g(T, hi_p[:Q], lo_p[:Q]))
 
+    # cross-run check: pass the known-good tuple when v0 isn't in this run
+    # (HBM cannot hold every layout at once)
     ref = ref_name = None
+    if os.environ.get("EXPECT_CHECKSUM"):
+        ref = tuple(int(x) for x in os.environ["EXPECT_CHECKSUM"].split(","))
+        ref_name = "EXPECT_CHECKSUM"
     for name in VARIANTS:
         if probes[name][1]:  # sorted-input twins share the unsorted fn
             continue
