@@ -174,7 +174,9 @@ def _make_fast(tax, index, args, null):
         )
         return clf
     scorer = DeviceScorer(tax, cfg, null_model=null)
-    dev = scorer.remap_index_tids(index).to_device()
+    dev = scorer.remap_index_tids(index).to_device(
+        layout=getattr(args, "layout", "auto") or "auto"
+    )
     return FastClassifier(dev, scorer, k=index.k, min_score=args.min_score)
 
 

@@ -379,6 +379,11 @@ def main(argv=None):
                    help="exact = host epilogue (bit-identical); fast = full "
                         "device scorer (TPU throughput path)")
     p.add_argument("--batch", type=int, default=512, help="fast-mode batch size")
+    p.add_argument("--layout", choices=("auto", "fused", "paged", "window"),
+                   default="auto",
+                   help="device index layout: fused (small DBs, 1 gather), "
+                        "paged (capacity speed tier, 2 gathers), window "
+                        "(minimum memory)")
     p.add_argument("--mesh", default=None,
                    help='"data,db" device mesh: shard the DB over chips with '
                         "all_to_all query routing (fast mode)")

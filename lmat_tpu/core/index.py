@@ -343,29 +343,134 @@ class KmerIndex:
             )
         return rows.reshape(nb, R * W), R
 
+    # paged layout: the capacity-scale probe (measured round 4,
+    # tools/profile_r4.py at 100M k-mers on v5e).  Two row gathers per
+    # query — a fine-bucket (pos,count) pair and ONE page row holding the
+    # bucket's complete inline records — replace the windowed layout's
+    # 3-gather + binary-search chain.  Why the page is SMALL (P slots):
+    # gather stages cost max(Q * ~15ns issue, bytes / ~50GB/s bandwidth)
+    # (measured: 32-slot 1.28KB pages ran 21.4M lookups/s bandwidth-bound;
+    # 2.56KB one-gather rows 18.4M; 4-gather chains ~20M issue-bound), so
+    # the optimum is the fewest stages whose rows stay under the issue
+    # break-even width.  Fine buckets use e extra suffix bits so the
+    # deepest bucket fits one page; count-class packing keeps padding
+    # ~1.1-1.3x (vs the fused layout's next-pow2-per-bucket blow-up).
+    # Memory ~ (2+max_tids)*4*slack B/kmer: the capacity-DB speed tier
+    # (windowed remains the minimum-memory tier).
+    _PAGED_SLOTS = 16
+    _PAGED_AUTO_LIMIT = 12 << 30
+
+    def paged_tables(self, P: int | None = None, e: int | None = None):
+        """Repack into the paged capacity layout (host numpy).
+
+        Returns (ptab [nb, 2] int32, pages [n_pages, P*(2+MT)] uint32, e, P)
+        or None when no e <= SUF_BITS-2 makes every fine bucket fit P slots
+        (pathological: >P identical (hi, lo-prefix) k-mers at max e).
+        A forced ``e`` pins the fine-bucket split (the sharded router needs
+        one uniform split across shards); it must satisfy the depth bound.
+
+          ptab[b]  = (global slot position, count) of fine bucket b
+          page row = P slots of (lo u32, count<<16|ng, tids[MT] zero-padded);
+                     empty slots hold lo = 0xFFFFFFFF (real lo < 2^SUF_BITS)
+
+        Buckets are packed whole into pages by count class (a bucket never
+        straddles a page), so the probe is ptab gather -> page-row gather ->
+        in-row one-hot select.  Reference capability match: SortedDb's
+        two-level search (/root/reference/src/kmerdb/SortedDb.hpp:279-385)
+        collapsed to a fixed 2-gather chain.
+        """
+        if P is None:
+            P = self._PAGED_SLOTS
+        N = self.n_kmers
+        MT = self.max_tids
+        W = 2 + MT
+        # recover sorted k-mer keys from the index's own arrays; the coarse
+        # bucket count comes from the table itself so shard sub-indexes
+        # (bucket ranges) page correctly too
+        bs = self.bucket_start.astype(np.int64)
+        bcounts = np.diff(bs)
+        n_coarse = len(bcounts)
+        hi_all = np.repeat(np.arange(n_coarse, dtype=np.int64), bcounts)
+        lo_all = self.suffix.astype(np.int64)
+        e_range = range(0, SUF_BITS - 1) if e is None else (e,)
+        for e in e_range:
+            nb = n_coarse << e
+            if nb > (1 << 31):
+                return None
+            fb = (hi_all << e) | (lo_all >> (SUF_BITS - e))
+            counts = np.bincount(fb, minlength=nb)
+            if (counts.max() if counts.size else 0) <= P:
+                break
+        else:
+            return None
+
+        # count-class packing: buckets with count c go P//c per page
+        pos = np.zeros(nb, np.int64)
+        page_base = 0
+        for c in range(1, P + 1):
+            sel = np.nonzero(counts == c)[0]
+            if not sel.size:
+                continue
+            per = P // c
+            n_pages_c = (len(sel) + per - 1) // per
+            i = np.arange(len(sel))
+            pos[sel] = (page_base + i // per) * P + (i % per) * c
+            page_base += n_pages_c
+        pages = np.zeros((max(page_base, 1), P, W), np.uint32)
+        pages[:, :, 0] = 0xFFFFFFFF
+        fbs = np.zeros(nb + 1, np.int64)
+        np.cumsum(counts, out=fbs[1:])
+        rank = np.arange(N) - np.repeat(fbs[:-1], counts)
+        slot = np.repeat(pos, counts) + rank
+        pg, off = slot // P, slot % P
+        pages[pg, off, 0] = self.suffix
+        ts = self.tid_start.astype(np.int64)
+        cnt_k = np.diff(ts)
+        pages[pg, off, 1] = (cnt_k.astype(np.uint32) << 16) | self.ng.astype(
+            np.uint32
+        )
+        cols = np.arange(MT)[None, :]
+        msk = cols < cnt_k[:, None]
+        src = np.minimum(ts[:-1, None] + cols, max(len(self.tid_flat) - 1, 0))
+        if len(self.tid_flat):  # all-empty lists: slots stay zero
+            pages[pg[:, None], off[:, None], 2 + cols] = np.where(
+                msk, self.tid_flat[src], 0
+            )
+        ptab = np.stack([pos, counts], axis=1).astype(np.int32)
+        return ptab, pages.reshape(max(page_base, 1), P * W), e, P
+
     def to_device(self, device=None, dense_lists: bool | None = None,
                   layout: str = "auto"):
         """Upload the index to the device in one of two probe layouts.
 
         layout:
           "auto"   — "fused" when the fused table fits _FUSED_AUTO_LIMIT
-                     bytes and the geometry allows it, else "window"
+                     bytes and the geometry allows it; else "paged" when its
+                     table fits _PAGED_AUTO_LIMIT; else "window"
           "fused"  — single-gather bucket-row probe (fast, padded: see
                      fused_tables); raises if the geometry does not fit
+          "paged"  — 2-gather capacity probe with inline records (see
+                     paged_tables); the >=100M-k-mer speed tier
           "window" — lean 3-gather layout (bucket pair + overlapping suffix
-                     window + record row); the capacity layout, and the one
-                     the prefix-sharded router uses per shard
+                     window + record row); the minimum-memory layout
         """
         import jax
 
-        if layout not in ("auto", "fused", "window"):
-            raise ValueError(f"unknown layout {layout!r}: use auto|fused|window")
+        if layout not in ("auto", "fused", "paged", "window"):
+            raise ValueError(
+                f"unknown layout {layout!r}: use auto|fused|paged|window"
+            )
         put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
         fused = None
+        paged = None
         if layout == "fused":
             fused = self.fused_tables()
             if fused is None:
                 raise ValueError("index geometry does not fit the fused layout")
+        elif layout == "paged":
+            paged = self.paged_tables()
+            if paged is None:
+                raise ValueError("index geometry does not fit the paged layout")
         elif layout == "auto" and dense_lists is None:
             # an explicit dense_lists choice pins the packed layout (callers
             # asking for a specific arena mode want that mode exercised)
@@ -378,6 +483,26 @@ class KmerIndex:
             nbytes = len(counts) * R * (2 + self.max_tids) * 4
             if max_b <= self._FUSED_RMAX and nbytes <= self._FUSED_AUTO_LIMIT:
                 fused = self.fused_tables()
+            else:
+                # paged slack is ~1.1-1.3x; 1.5x bounds the auto decision
+                est = self.n_kmers * (2 + self.max_tids) * 4 * 1.5
+                if est <= self._PAGED_AUTO_LIMIT:
+                    paged = self.paged_tables()
+        if paged is not None:
+            ptab, pages, pe, pp = paged
+            return DeviceIndex(
+                k=self.k,
+                bucket_tab=None,
+                suffix_over=None,
+                rec=None,
+                arena=None,
+                max_tids=self.max_tids,
+                search_depth=self.search_depth,
+                arena_mode=("paged", pp, pe),
+                conv_table=put(self.conv_table) if self.conv_table is not None else None,
+                paged_tab=put(ptab),
+                paged_pages=put(pages),
+            )
         if fused is not None:
             fused_rows, R = fused
             return DeviceIndex(
@@ -426,6 +551,8 @@ class DeviceIndex:
     conv_table: object = None
     fused_rows: object = None  # fused layout (see KmerIndex.fused_tables)
     fused_r: int = 0
+    paged_tab: object = None   # paged layout (see KmerIndex.paged_tables)
+    paged_pages: object = None
 
     def lookup(self, hi, lo, valid):
         """Probe a batch of k-mers.
@@ -436,7 +563,13 @@ class DeviceIndex:
         """
         import jax.numpy as jnp
 
-        if self.fused_rows is not None:
+        if self.paged_tab is not None:
+            found, ngv, tids, tmask = probe_paged(
+                self.paged_tab, self.paged_pages, self.arena_mode[1],
+                self.arena_mode[2], self.max_tids,
+                hi.astype(jnp.int32), lo, valid,
+            )
+        elif self.fused_rows is not None:
             found, ngv, tids, tmask = probe_fused(
                 self.fused_rows, self.fused_r, self.max_tids,
                 hi.astype(jnp.int32), lo, valid,
@@ -456,19 +589,21 @@ class DeviceIndex:
 
 def _di_flatten(d):
     children = (d.bucket_tab, d.suffix_over, d.rec, d.arena, d.conv_table,
-                d.fused_rows)
+                d.fused_rows, d.paged_tab, d.paged_pages)
     aux = (d.k, d.max_tids, d.search_depth, d.arena_mode, d.fused_r)
     return children, aux
 
 
 def _di_unflatten(aux, children):
     k, max_tids, search_depth, arena_mode, fused_r = aux
-    bucket_tab, suffix_over, rec, arena, conv_table, fused_rows = children
+    (bucket_tab, suffix_over, rec, arena, conv_table, fused_rows,
+     paged_tab, paged_pages) = children
     return DeviceIndex(
         k=k, bucket_tab=bucket_tab, suffix_over=suffix_over, rec=rec,
         arena=arena, max_tids=max_tids, search_depth=search_depth,
         arena_mode=arena_mode, conv_table=conv_table,
         fused_rows=fused_rows, fused_r=fused_r,
+        paged_tab=paged_tab, paged_pages=paged_pages,
     )
 
 
@@ -567,6 +702,40 @@ def _fetch_record(rec, arena, arena_mode, max_tids, pos, found):
     ngv = meta & 0xFFFF
     tmask = (jnp.arange(MT, dtype=jnp.int32) < count[..., None]) & found[..., None]
     tids = jnp.where(tmask, rows, jnp.uint32(0))
+    return found, ngv, tids, tmask
+
+
+def probe_paged(ptab, pages, P, e, max_tids, b, lo, valid):
+    """Paged capacity probe: fine-bucket (pos,count) gather + ONE small page
+    row with inline records (see KmerIndex.paged_tables).  2 gather stages —
+    the measured optimum at >=100M k-mers where the windowed chain is
+    issue-bound and wide one-gather rows are bandwidth-bound
+    (tools/profile_r4.py).
+
+    b: int32 coarse bucket id (hi lane) [...]; lo: uint32 suffix; valid: bool.
+    """
+    import jax.numpy as jnp
+
+    MT = max_tids
+    W = 2 + MT
+    lgp = P.bit_length() - 1
+    fb = (b << e) | (lo >> (SUF_BITS - e)).astype(jnp.int32)
+    bt = jnp.take(ptab, fb, axis=0, mode="clip")  # [..., 2]
+    pos = bt[..., 0]
+    cnt = bt[..., 1]
+    row = jnp.take(pages, pos >> lgp, axis=0, mode="clip")  # [..., P*W]
+    rr = row.reshape(row.shape[:-1] + (P, W))
+    off = pos & (P - 1)
+    j = jnp.arange(P, dtype=jnp.int32)
+    inb = (j >= off[..., None]) & (j < (off + cnt)[..., None])
+    hit = inb & (rr[..., 0] == lo.astype(jnp.uint32)[..., None]) & valid[..., None]
+    found = jnp.any(hit, axis=-1)
+    rec = jnp.sum(jnp.where(hit[..., None], rr[..., 1:], jnp.uint32(0)), axis=-2)
+    meta = rec[..., 0].astype(jnp.int32)
+    count = meta >> 16
+    ngv = meta & 0xFFFF
+    tmask = (jnp.arange(MT, dtype=jnp.int32) < count[..., None]) & found[..., None]
+    tids = jnp.where(tmask, rec[..., 1:], jnp.uint32(0))
     return found, ngv, tids, tmask
 
 

@@ -25,35 +25,45 @@ from ..core.index import KmerIndex
 
 @dataclass
 class ShardedIndex:
-    """Stacked per-shard packed row tables (KmerIndex.packed_tables layout);
-    leading dim = shard, padded to the max shard size."""
+    """Stacked per-shard device tables; leading dim = shard, padded to the
+    max shard size.  Two shard layouts (uniform across shards so the traced
+    probe is one program):
+
+      "window" — KmerIndex.packed_tables (minimum memory)
+      "paged"  — KmerIndex.paged_tables (the round-4 2-gather speed tier);
+                 bucket_tab/suffix_over/rec hold the (ptab, pages) pair
+                 instead (rec/arena unused)
+    """
 
     k: int
     n_shards: int
     buckets_per_shard: int
-    bucket_tab: np.ndarray   # [S, per, 2]
-    suffix_over: np.ndarray  # [S, rows, 2W]
-    rec: np.ndarray          # [S, max_kmers, 2]
-    arena: np.ndarray        # [S, ...] dense or windowed (same mode per shard)
+    bucket_tab: np.ndarray   # [S, per, 2] | paged: ptab [S, per<<e, 2]
+    suffix_over: np.ndarray  # [S, rows, 2W] | paged: pages [S, rows, P*W]
+    rec: np.ndarray          # [S, max_kmers, 2] | paged: [S, 1, 1] unused
+    arena: np.ndarray        # [S, ...] windowed arena | paged: [S, 1] unused
     arena_mode: tuple
     max_tids: int
     search_depth: int
 
     @classmethod
     def from_index(cls, idx: KmerIndex, n_shards: int,
-                   dense_lists: bool | None = None) -> "ShardedIndex":
+                   dense_lists: bool | None = None,
+                   layout: str = "window") -> "ShardedIndex":
+        if layout not in ("window", "paged"):
+            raise ValueError(f"unknown shard layout {layout!r}")
         n_buckets = idx.bucket_start.shape[0] - 1
         assert n_buckets % n_shards == 0, "bucket count must divide by shards"
         per = n_buckets // n_shards
         if dense_lists is None:
             # one decision for all shards so the traced probe is uniform
             dense_lists = idx.n_kmers * idx.max_tids * 4 <= KmerIndex._DENSE_LIMIT
-        packs = []
+        subs = []
         for s in range(n_shards):
             b0, b1 = s * per, (s + 1) * per
             k0, k1 = int(idx.bucket_start[b0]), int(idx.bucket_start[b1])
             a0, a1 = int(idx.tid_start[k0]), int(idx.tid_start[k1])
-            sub = KmerIndex(
+            subs.append(KmerIndex(
                 k=idx.k,
                 bucket_start=(idx.bucket_start[b0 : b1 + 1].astype(np.int64) - k0),
                 suffix=idx.suffix[k0:k1],
@@ -62,26 +72,50 @@ class ShardedIndex:
                 ng=idx.ng[k0:k1],
                 max_tids=idx.max_tids,
                 search_depth=idx.search_depth,
-            )
-            packs.append(sub.packed_tables(dense_lists=dense_lists))
-        arena_mode = packs[0][1]
+            ))
 
-        def stack(key):
-            arrs = [p[0][key] for p in packs]
+        def stack(arrs):
             m = max(a.shape[0] for a in arrs)
             out = np.zeros((n_shards, m) + arrs[0].shape[1:], arrs[0].dtype)
             for i, a in enumerate(arrs):
                 out[i, : a.shape[0]] = a
             return out
 
+        if layout == "paged":
+            P = KmerIndex._PAGED_SLOTS
+            # one uniform e across shards: the deepest shard decides
+            e_shard = []
+            for sub in subs:
+                pt = sub.paged_tables(P=P)
+                if pt is None:
+                    raise ValueError("a shard does not fit the paged layout")
+                e_shard.append(pt[2])
+            e_all = max(e_shard)
+            packs = [sub.paged_tables(P=P, e=e_all) for sub in subs]
+            assert all(p is not None for p in packs)
+            return cls(
+                k=idx.k,
+                n_shards=n_shards,
+                buckets_per_shard=per,
+                bucket_tab=stack([p[0] for p in packs]),
+                suffix_over=stack([p[1] for p in packs]),
+                rec=np.zeros((n_shards, 1, 1), np.int32),
+                arena=np.zeros((n_shards, 1), np.uint32),
+                arena_mode=("paged", P, e_all),
+                max_tids=idx.max_tids,
+                search_depth=idx.search_depth,
+            )
+
+        packs = [sub.packed_tables(dense_lists=dense_lists) for sub in subs]
+        arena_mode = packs[0][1]
         return cls(
             k=idx.k,
             n_shards=n_shards,
             buckets_per_shard=per,
-            bucket_tab=stack("bucket_tab"),
-            suffix_over=stack("suffix_over"),
-            rec=stack("rec"),
-            arena=stack("arena"),
+            bucket_tab=stack([p[0]["bucket_tab"] for p in packs]),
+            suffix_over=stack([p[0]["suffix_over"] for p in packs]),
+            rec=stack([p[0]["rec"] for p in packs]),
+            arena=stack([p[0]["arena"] for p in packs]),
             arena_mode=arena_mode,
             max_tids=idx.max_tids,
             search_depth=idx.search_depth,
@@ -90,15 +124,20 @@ class ShardedIndex:
 
 def _local_probe(shard_arrays, per_buckets, shard_id, search_depth, max_tids,
                  arena_mode, hi, lo, valid):
-    """Probe shard-local packed tables; hi is the global bucket id."""
+    """Probe shard-local tables; hi is the global bucket id."""
     import jax.numpy as jnp
 
-    from ..core.index import probe_packed
+    from ..core.index import probe_packed, probe_paged
 
     bucket_tab, suffix_over, rec, arena = shard_arrays
     b = hi.astype(jnp.int32) - shard_id * per_buckets
     in_range = (b >= 0) & (b < per_buckets)
     b = jnp.clip(b, 0, per_buckets - 1)
+    if arena_mode[0] == "paged":
+        return probe_paged(
+            bucket_tab, suffix_over, arena_mode[1], arena_mode[2], max_tids,
+            b, lo, valid & in_range,
+        )
     return probe_packed(
         bucket_tab, suffix_over, rec, arena, arena_mode, search_depth, max_tids,
         b, lo, valid & in_range,

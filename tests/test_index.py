@@ -173,13 +173,16 @@ def test_fused_layout_respects_validity_and_auto_policy():
         np.asarray(hi).reshape(1, -1), np.asarray(lo).reshape(1, -1), valid))
     assert not f[0, 1::2].any()
     assert f[0, ::2].all()
-    # deep buckets exceed _FUSED_RMAX -> auto falls back to the window layout
+    # deep buckets exceed _FUSED_RMAX -> auto falls back to the paged
+    # capacity layout (round 4); windowed remains reachable explicitly
     lows = rng.choice(np.arange(0, 1 << 16, dtype=np.uint64), size=300, replace=False)
     deep = (np.uint64(0xA) << np.uint64(20)) | lows
     lists2 = [np.array([5], np.uint32)] * len(deep)
     idx2 = KmerIndex.build(deep, lists2, k, max_tids=4)
     dev2 = idx2.to_device()
-    assert dev2.fused_rows is None and dev2.bucket_tab is not None
+    assert dev2.fused_rows is None and dev2.paged_tab is not None
+    devw = idx2.to_device(layout="window")
+    assert devw.bucket_tab is not None
     import pytest
 
     with pytest.raises(ValueError):
@@ -206,3 +209,84 @@ def test_empty_tid_lists_and_layout_validation():
 
     with pytest.raises(ValueError):
         idx.to_device(layout="direct")
+
+
+def test_device_lookup_paged_layout():
+    """The paged 2-gather capacity layout must match the host oracle and the
+    windowed layout exactly, hits and misses alike — including deep buckets
+    that force extra fine-bucket bits (e > 0) and empty tid lists."""
+    rng = np.random.default_rng(9)
+    k = 12
+    kmers, lists = random_db(rng, 400, k, 8)
+    idx = KmerIndex.build(kmers, lists, k, max_tids=8)
+    dev = idx.to_device(layout="paged")
+    assert dev.paged_tab is not None and dev.arena_mode[0] == "paged"
+    queries = np.concatenate(
+        [kmers, rng.integers(0, 1 << (2 * k), size=200).astype(np.uint64)]
+    )
+    hi, lo = split64(queries)
+    args = (np.asarray(hi).reshape(1, -1), np.asarray(lo).reshape(1, -1),
+            np.ones((1, len(queries)), bool))
+    f1, n1, t1, m1 = (np.asarray(x) for x in dev.lookup(*args))
+    devw = idx.to_device(layout="window")
+    f2, n2, t2, m2 = (np.asarray(x) for x in devw.lookup(*args))
+    assert np.array_equal(f1, f2)
+    assert np.array_equal(n1, n2)
+    assert np.array_equal(t1, t2)
+    assert np.array_equal(m1, m2)
+    for j, q in enumerate(queries):
+        host = idx.lookup_host(int(q))
+        if host is None:
+            assert not f1[0, j]
+        else:
+            assert f1[0, j] and n1[0, j] == host[0]
+            assert np.array_equal(t1[0, j][m1[0, j]], host[1])
+
+
+def test_paged_layout_deep_buckets_and_validity():
+    """1500 suffixes in ONE coarse bucket: paged_tables must raise e until
+    the deepest fine bucket fits a page, and invalid queries stay invalid."""
+    rng = np.random.default_rng(10)
+    k = 12
+    lows = rng.choice(np.arange(0, 1 << 16, dtype=np.uint64), size=1500,
+                      replace=False)
+    kmers = np.sort((np.uint64(0xA) << np.uint64(20)) | lows)
+    lists = [np.sort(rng.choice(10000, size=rng.integers(1, 9),
+                                replace=False)).astype(np.uint32)
+             for _ in range(len(kmers))]
+    idx = KmerIndex.build(kmers, lists, k, max_tids=8)
+    ptab, pages, e, P = idx.paged_tables()
+    assert e > 0  # deep bucket forced finer splitting
+    dev = idx.to_device(layout="paged")
+    queries = np.concatenate(
+        [kmers[:300], rng.integers(0, 1 << (2 * k), size=100).astype(np.uint64)]
+    )
+    hi, lo = split64(queries)
+    valid = np.ones(len(queries), bool)
+    valid[::3] = False
+    f, n, t, m = (np.asarray(x) for x in dev.lookup(
+        np.asarray(hi), np.asarray(lo), valid))
+    for j, q in enumerate(queries):
+        host = idx.lookup_host(int(q))
+        if not valid[j] or host is None:
+            assert not f[j]
+        else:
+            assert f[j] and n[j] == host[0]
+            assert np.array_equal(t[j][m[j]], host[1])
+
+
+def test_paged_layout_empty_lists_and_empty_index():
+    k = 12
+    kmers = np.array([3, 77, 1 << 21, (1 << 22) | 5], np.uint64)
+    idx = KmerIndex.build(kmers, [np.zeros(0, np.uint32)] * 4, k, max_tids=4)
+    dev = idx.to_device(layout="paged")
+    hi, lo = split64(kmers)
+    f, n, t, m = (np.asarray(x) for x in dev.lookup(
+        np.asarray(hi), np.asarray(lo), np.ones(4, bool)))
+    assert f.all() and (n == 0).all() and not m.any()
+    # empty index: still probeable, everything misses
+    empty = KmerIndex.build(np.zeros(0, np.uint64), [], k, max_tids=4)
+    deve = empty.to_device(layout="paged")
+    f, n, t, m = (np.asarray(x) for x in deve.lookup(
+        np.asarray(hi), np.asarray(lo), np.ones(4, bool)))
+    assert not f.any()

@@ -94,3 +94,42 @@ def test_router_cap_concentration(big_idx):
         owner = (qk >> np.uint64(2 * K - 20)).astype(np.int64) // per
         worst = max(worst, int(np.bincount(owner, minlength=S).max()))
     assert worst <= 2 * (Q // S), worst
+
+
+def test_router_scale_paged(big_idx):
+    """The paged per-shard layout through the full all-to-all router must
+    agree with the host oracle (the speed-tier configuration for
+    capacity-scale DBs: VERDICT r4, 2-gather shard probe)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    idx, kmers = big_idx
+    mesh = make_mesh(data=2, db=4)
+    sidx = ShardedIndex.from_index(idx, 4, layout="paged")
+    assert sidx.arena_mode[0] == "paged"
+
+    rng = np.random.default_rng(12)
+    Q = 8192
+    qk = np.concatenate(
+        [
+            kmers[rng.integers(0, idx.n_kmers, Q // 2)],
+            rng.integers(0, 1 << (2 * K), Q - Q // 2, dtype=np.uint64),
+        ]
+    )
+    rng.shuffle(qk)
+    hi, lo = split64(qk)
+    fn = make_sharded_lookup(mesh, sidx, q_per_device=Q // 8)
+    found, ng, tids, tmask, overflow = fn(hi, lo, np.ones(Q, bool))
+    found, ng, tids, tmask = map(np.asarray, (found, ng, tids, tmask))
+    assert int(overflow) == 0
+
+    sample = rng.integers(0, Q, 512)
+    for i in sample:
+        host = idx.lookup_host(int(qk[i]))
+        if host is None:
+            assert not found[i]
+        else:
+            assert found[i]
+            assert ng[i] == host[0]
+            assert np.array_equal(tids[i][tmask[i]], host[1])

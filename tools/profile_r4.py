@@ -131,13 +131,14 @@ def paged_records(idx, kmers, e, rec2):
     )
 
 
-def paged_records_wide(idx, kmers, e):
+def paged_records_wide(idx, kmers, e, P=32):
     """v9 layout: like v7 pages but each slot inlines its full taxid list
     (suffix, meta, tids[MT]) so the arena gather disappears entirely:
-    bucket_tab + ONE 1.28KB page row = the whole lookup (2 gathers).
-    Memory ~ (2+MT)*4 * 1.11 bytes/kmer — the speed end of the
-    speed/capacity dial."""
-    P = 32
+    bucket_tab + ONE page row = the whole lookup (2 gathers).
+    Memory ~ (2+MT)*4 * slack bytes/kmer — the speed end of the
+    speed/capacity dial.  P slots/page: v9=32 (1.28KB rows), v11=16 (640B),
+    v12=8 (320B) — smaller rows stay under the gather-issue bound instead
+    of the ~50GB/s wide-row bandwidth bound (measured r4)."""
     MT = idx.max_tids
     W = 2 + MT
     nb = 1 << (2 * K - SUF_BITS + e)
@@ -298,6 +299,23 @@ def main():
     if "v10" in VARIANTS:
         s10 = int(os.environ.get("ONEHOP_S", 2))
         pages10_np, P10, gb10 = onehop_pages(idx, kmers, e, s10)
+    def e_for_cap(P):
+        """Smallest e whose max fine-bucket depth fits P slots."""
+        for ee in range(e, SUF_BITS - 2):
+            b = (kmers >> np.uint64(SUF_BITS - ee)).astype(np.int64)
+            mx = int(np.bincount(b, minlength=1 << (2 * K - SUF_BITS + ee)).max())
+            if mx <= P:
+                return ee
+        raise AssertionError("no e fits")
+
+    ptab11_np = pages11_np = ptab12_np = pages12_np = None
+    e11 = e12 = None
+    if "v11" in VARIANTS:
+        e11 = e_for_cap(16)
+        ptab11_np, pages11_np = paged_records_wide(idx, kmers, e11, P=16)
+    if "v12" in VARIANTS:
+        e12 = e_for_cap(8)
+        ptab12_np, pages12_np = paged_records_wide(idx, kmers, e12, P=8)
 
     put = jax.device_put
     t0 = time.time()
@@ -326,6 +344,12 @@ def main():
         T["pages9"] = put(pages9_np)
     if pages10_np is not None:
         T["pages10"] = put(pages10_np)
+    if pages11_np is not None:
+        T["ptab11"] = put(ptab11_np)
+        T["pages11"] = put(pages11_np)
+    if pages12_np is not None:
+        T["ptab12"] = put(ptab12_np)
+        T["pages12"] = put(pages12_np)
     jax.block_until_ready(list(T.values())[-1])
     log(f"upload {(sum(x.nbytes for x in T.values()))/1e9:.2f} GB in {time.time()-t0:.1f}s")
 
@@ -423,26 +447,33 @@ def main():
         ).astype(jnp.int32)
         return fetch_aligned(T, ts, meta, found)
 
-    def probe_v9(T, b, lo, valid):
+    def mk_paged_wide(ptab_key, pages_key, P):
         """paged-wide probe: bucket_tab + ONE page row with inline tids."""
-        W9 = 2 + MT
-        bt = jnp.take(T["ptab9"], b, axis=0, mode="clip")
-        pos = bt[..., 0]
-        cnt = bt[..., 1]
-        row = jnp.take(T["pages9"], pos >> 5, axis=0, mode="clip")
-        rr = row.reshape(row.shape[:-1] + (32, W9))
-        off = pos & 31
-        j = jnp.arange(32, dtype=jnp.int32)
-        inb = (j >= off[..., None]) & (j < (off + cnt)[..., None])
-        hit = inb & (rr[..., 0] == lo.astype(jnp.uint32)[..., None]) & valid[..., None]
-        found = jnp.any(hit, axis=-1)
-        rec = jnp.sum(jnp.where(hit[..., None], rr[..., 1:], jnp.uint32(0)), axis=-2)
-        meta = rec[..., 0].astype(jnp.int32)
-        count = meta >> 16
-        ngv = meta & 0xFFFF
-        tmask = (jnp.arange(MT, dtype=jnp.int32) < count[..., None]) & found[..., None]
-        tids = jnp.where(tmask, rec[..., 1:], jnp.uint32(0))
-        return found, ngv, tids, tmask
+        lgp = P.bit_length() - 1
+
+        def f(T, b, lo, valid):
+            W9 = 2 + MT
+            bt = jnp.take(T[ptab_key], b, axis=0, mode="clip")
+            pos = bt[..., 0]
+            cnt = bt[..., 1]
+            row = jnp.take(T[pages_key], pos >> lgp, axis=0, mode="clip")
+            rr = row.reshape(row.shape[:-1] + (P, W9))
+            off = pos & (P - 1)
+            j = jnp.arange(P, dtype=jnp.int32)
+            inb = (j >= off[..., None]) & (j < (off + cnt)[..., None])
+            hit = inb & (rr[..., 0] == lo.astype(jnp.uint32)[..., None]) & valid[..., None]
+            found = jnp.any(hit, axis=-1)
+            rec = jnp.sum(jnp.where(hit[..., None], rr[..., 1:], jnp.uint32(0)), axis=-2)
+            meta = rec[..., 0].astype(jnp.int32)
+            count = meta >> 16
+            ngv = meta & 0xFFFF
+            tmask = (jnp.arange(MT, dtype=jnp.int32) < count[..., None]) & found[..., None]
+            tids = jnp.where(tmask, rec[..., 1:], jnp.uint32(0))
+            return found, ngv, tids, tmask
+
+        return f
+
+    probe_v9 = mk_paged_wide("ptab9", "pages9", 32)
 
     def probe_v10(T, h, lo, valid):
         """onehop probe: page id from the kmer prefix, ONE page-row gather."""
@@ -511,8 +542,9 @@ def main():
             return probe_v4(T, b, l, v, fdepth, G=G)
         return f
 
-    def fine_b(h, l):
-        return (h.astype(jnp.int32) << e) | (l >> (SUF_BITS - e)).astype(jnp.int32)
+    def fine_b(h, l, ee=None):
+        ee = e if ee is None else ee
+        return (h.astype(jnp.int32) << ee) | (l >> (SUF_BITS - ee)).astype(jnp.int32)
 
     probes = {
         "v0": (mk_coarse(idx.search_depth), False),
@@ -528,6 +560,14 @@ def main():
         "v9s": (lambda T, h, l, v: probe_v9(T, fine_b(h, l), l, v), True),
         "v10": (probe_v10, False),
     }
+    if pages11_np is not None:
+        p11 = mk_paged_wide("ptab11", "pages11", 16)
+        probes["v11"] = (
+            lambda T, h, l, v: p11(T, fine_b(h, l, e11), l, v), False)
+    if pages12_np is not None:
+        p12 = mk_paged_wide("ptab12", "pages12", 8)
+        probes["v12"] = (
+            lambda T, h, l, v: p12(T, fine_b(h, l, e12), l, v), False)
 
     # correctness: fixed query window, checksum tuple must match v0
     def checksum(fn):

@@ -1,13 +1,16 @@
 #!/usr/bin/env python3
-"""Scale rehearsal: the windowed-arena index at >=100M k-mers on a real chip.
+"""Scale rehearsal: capacity-scale index layouts at >=100M k-mers on a chip.
 
 The production marker DB is 1.7e9 k-mers (reference doc/lmat-doc.txt:464);
 round 1/2 benches only ever instantiated 4M.  This tool builds a synthetic
-index at SCALE_KMERS (default 1e8) k-mers, uploads it to the device, and
-records:
+index at SCALE_KMERS (default 1e8) k-mers, uploads BOTH capacity layouts
+(windowed = minimum memory; paged = the round-4 2-gather speed tier), and
+records for each:
 
-  - host + device memory footprint per table (measured, not estimated)
-  - device probe throughput (lookups/s) at that scale
+  - host + device memory footprint (measured, not estimated)
+  - device probe throughput (lookups/s) at that scale, timed with the
+    scan-inside-jit method (NOTES.md: per-call RPC latency would otherwise
+    dominate)
   - bit-exact agreement of a device-probe sample vs the host lookup oracle
   - a capacity extrapolation to the 1.7B-k-mer marker DB
 
@@ -87,25 +90,32 @@ def main():
     )
 
     dev = jax.devices()[0]
-    stats0 = dev.memory_stats() or {}
     t0 = time.time()
-    dix = idx.to_device()
+    dix = idx.to_device(layout="window", dense_lists=False)
     jax.block_until_ready(dix.arena)
     t_up = time.time() - t0
+    t0 = time.time()
+    dixp = idx.to_device(layout="paged")
+    jax.block_until_ready(dixp.paged_pages)
+    t_up_paged = time.time() - t0
     stats1 = dev.memory_stats() or {}
-    hbm_used = stats1.get("bytes_in_use", 0) - stats0.get("bytes_in_use", 0)
     hbm_cap = stats1.get("bytes_limit", 0)
-    if not hbm_used:
-        # axon's remote backend reports no memory stats: fall back to the
-        # device buffers' own nbytes (the tables are uploaded verbatim)
-        hbm_used = sum(
+
+    def dev_bytes(d):
+        return sum(
             getattr(t, "nbytes", 0)
-            for t in (dix.bucket_tab, dix.suffix_over, dix.rec, dix.arena)
+            for t in (d.bucket_tab, d.suffix_over, d.rec, d.arena,
+                      d.paged_tab, d.paged_pages)
             if t is not None
         )
+
+    hbm_used = dev_bytes(dix)
+    hbm_paged = dev_bytes(dixp)
     log(
-        f"upload: {t_up:.1f}s; device table bytes "
-        f"{hbm_used / 1e9:.3f} GB (reported limit {hbm_cap / 1e9:.1f} GB)"
+        f"upload: windowed {hbm_used / 1e9:.3f} GB in {t_up:.1f}s; paged "
+        f"{hbm_paged / 1e9:.3f} GB (P={dixp.arena_mode[1]}, "
+        f"e={dixp.arena_mode[2]}) in {t_up_paged:.1f}s "
+        f"(reported limit {hbm_cap / 1e9:.1f} GB)"
     )
 
     # ---- correctness sample: device probe vs host oracle, hits and misses
@@ -123,70 +133,89 @@ def main():
     # pass the DeviceIndex as a pytree ARGUMENT: jitting the bound method
     # would capture the multi-GB tables as HLO constants
     lookup = jax.jit(lambda d, h, l, v: d.lookup(h, l, v))
-    f, ng, tids, tmask = lookup(
-        dix, jnp.asarray(hi), jnp.asarray(lo), jnp.ones(n_s, bool)
-    )
-    f, ng, tids, tmask = map(np.asarray, (f, ng, tids, tmask))
-    n_bad = 0
-    for i in range(n_s):
-        want = idx.lookup_host(int(sample[i]))
-        if want is None:
-            n_bad += bool(f[i])
-            continue
-        wng, wtids = want
-        got = np.sort(tids[i][tmask[i]])
-        ok = f[i] and ng[i] == wng and got.shape == wtids.shape and (
-            got == np.sort(wtids)
-        ).all()
-        n_bad += not ok
-    log(f"correctness sample: {n_s - n_bad}/{n_s} device lookups match host oracle")
-    assert n_bad == 0, f"{n_bad} mismatches"
+    for name, d in (("windowed", dix), ("paged", dixp)):
+        f, ng, tids, tmask = lookup(
+            d, jnp.asarray(hi), jnp.asarray(lo), jnp.ones(n_s, bool)
+        )
+        f, ng, tids, tmask = map(np.asarray, (f, ng, tids, tmask))
+        n_bad = 0
+        for i in range(n_s):
+            want = idx.lookup_host(int(sample[i]))
+            if want is None:
+                n_bad += bool(f[i])
+                continue
+            wng, wtids = want
+            got = np.sort(tids[i][tmask[i]])
+            ok = f[i] and ng[i] == wng and got.shape == wtids.shape and (
+                got == np.sort(wtids)
+            ).all()
+            n_bad += not ok
+        log(f"correctness sample [{name}]: {n_s - n_bad}/{n_s} device "
+            "lookups match host oracle")
+        assert n_bad == 0, f"{name}: {n_bad} mismatches"
 
     # ---- probe throughput at scale
     qk = np.concatenate(
         [
-            kmers[rng.integers(0, idx.n_kmers, size=Q // 2)],
-            rng.integers(0, 1 << (2 * K), size=Q - Q // 2, dtype=np.uint64),
+            kmers[rng.integers(0, idx.n_kmers, size=(Q + ITERS) // 2)],
+            rng.integers(0, 1 << (2 * K), size=(Q + ITERS) - (Q + ITERS) // 2,
+                         dtype=np.uint64),
         ]
     )
     rng.shuffle(qk)
     qhi, qlo = split64(qk)
     qhi, qlo = jnp.asarray(qhi), jnp.asarray(qlo)
-    qv = jnp.ones(Q, bool)
+
+    from jax import lax
 
     @jax.jit
-    def probe_reduce(d, hi_, lo_, v_):
-        found, ngv, tids_, tmask_ = d.lookup(hi_, lo_, v_)
-        return (
-            found.sum(),
-            ngv.sum(),
-            tids_.astype(jnp.uint32).sum(),
-            tmask_.sum(),
+    def probe_scan(d, h, l):
+        # ITERS shifted query windows inside ONE jit: per-call RPC latency
+        # (~25-40ms on the axon tunnel) cannot pollute the per-iter time,
+        # and the full reduction defeats DCE (NOTES.md methodology)
+        def body(c, i):
+            hh = lax.dynamic_slice(h, (i,), (Q,))
+            ll = lax.dynamic_slice(l, (i,), (Q,))
+            found, ngv, tids_, tmask_ = d.lookup(hh, ll, jnp.ones(Q, bool))
+            return (c + found.sum().astype(jnp.int32) + ngv.sum()
+                    + tids_.astype(jnp.uint32).sum().astype(jnp.int32)
+                    + tmask_.sum(), 0)
+        c, _ = lax.scan(body, jnp.int32(0), jnp.arange(ITERS))
+        return c
+
+    rates = {}
+    for name, d in (("windowed", dix), ("paged", dixp)):
+        jax.block_until_ready(probe_scan(d, qhi, qlo))  # compile + warm
+        t0 = time.time()
+        for _ in range(3):
+            out = probe_scan(d, qhi, qlo)
+        jax.block_until_ready(out)
+        dt = (time.time() - t0) / 3 / ITERS
+        rates[name] = Q / dt
+        log(
+            f"probe [{name}]: {Q:,} lookups in {dt * 1e3:.2f} ms/iter = "
+            f"{rates[name] / 1e6:.2f}M lookups/s"
         )
+    lps = rates["paged"]
 
-    out = probe_reduce(dix, qhi, qlo, qv)
-    jax.block_until_ready(out)  # compile + warm
-    t0 = time.time()
-    for _ in range(ITERS):
-        out = probe_reduce(dix, qhi, qlo, qv)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / ITERS
-    lps = Q / dt
-    log(
-        f"probe: {Q:,} lookups in {dt * 1e3:.2f} ms/iter = {lps / 1e6:.2f}M "
-        f"lookups/s ({int(out[0]):,} hits)"
-    )
-
-    # ---- capacity extrapolation to the 1.7B marker DB
-    bytes_per_kmer = host_total / idx.n_kmers
-    marker_bytes = bytes_per_kmer * MARKER_DB_KMERS
+    # ---- capacity extrapolation to the 1.7B marker DB, per tier
     usable = (hbm_cap or 16e9) * 0.9  # leave headroom for batch + scorer
+    bytes_per_kmer = host_total / idx.n_kmers
+    bpk_paged = hbm_paged / idx.n_kmers
+    marker_bytes = bytes_per_kmer * MARKER_DB_KMERS
+    marker_paged = bpk_paged * MARKER_DB_KMERS
     chips = int(np.ceil(marker_bytes / usable))
+    chips_paged = int(np.ceil(marker_paged / usable))
+    # projected per-chip classification rate at marker-DB scale: probe-bound
+    # reads/s for ~170 queries/read (200bp, within-read dedup)
+    qs_per_read = 170
     log(
-        f"capacity: {bytes_per_kmer:.1f} B/kmer -> marker DB "
-        f"({MARKER_DB_KMERS / 1e9:.2f}B kmers) = {marker_bytes / 1e9:.0f} GB "
-        f"-> {chips} chips of {usable / 1e9:.1f} GB usable HBM "
-        f"(prefix-sharded via parallel/router.py)"
+        f"capacity: windowed {bytes_per_kmer:.1f} B/kmer -> "
+        f"{marker_bytes / 1e9:.0f} GB -> {chips} chips; paged "
+        f"{bpk_paged:.1f} B/kmer -> {marker_paged / 1e9:.0f} GB -> "
+        f"{chips_paged} chips of {usable / 1e9:.1f} GB usable HBM "
+        f"(prefix-sharded via parallel/router.py); paged probe-bound "
+        f"~{rates['paged'] / qs_per_read / 1e3:.0f}k reads/s/chip"
     )
 
     print(
@@ -199,9 +228,17 @@ def main():
                 "device_hbm_gb": round(hbm_used / 1e9, 3),
                 "upload_s": round(t_up, 1),
                 "probe_mlookups_per_s": round(lps / 1e6, 2),
+                "probe_windowed_mlps": round(rates["windowed"] / 1e6, 2),
+                "paged_gb": round(hbm_paged / 1e9, 3),
+                "paged_bytes_per_kmer": round(bpk_paged, 2),
+                "paged_reads_per_s_per_chip_at_marker": int(
+                    rates["paged"] / qs_per_read
+                ),
                 "sample_exact": True,
                 "marker_db_gb": round(marker_bytes / 1e9, 1),
                 "marker_db_chips": chips,
+                "marker_db_gb_paged": round(marker_paged / 1e9, 1),
+                "marker_db_chips_paged": chips_paged,
             }
         )
     )
