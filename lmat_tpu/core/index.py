@@ -356,20 +356,27 @@ class KmerIndex:
     # deepest bucket fits one page; count-class packing keeps padding
     # ~1.1-1.3x (vs the fused layout's next-pow2-per-bucket blow-up).
     # Memory ~ (2+max_tids)*4*slack B/kmer: the capacity-DB speed tier
-    # (windowed remains the minimum-memory tier).
-    _PAGED_SLOTS = 16
+    # (windowed remains the minimum-memory tier).  P=8 measured fastest at
+    # 100M k-mers (32.0M lookups/s vs 26.8M at P=16 vs 21.4M at P=32,
+    # tools/profile_r4.py v12/v11/v9) at equal total memory.
+    _PAGED_SLOTS = 8
     _PAGED_AUTO_LIMIT = 12 << 30
 
     def paged_tables(self, P: int | None = None, e: int | None = None):
         """Repack into the paged capacity layout (host numpy).
 
-        Returns (ptab [nb, 2] int32, pages [n_pages, P*(2+MT)] uint32, e, P)
+        Returns (ptab [nb] uint32, pages [n_pages, P*(2+MT)] uint32, e, P)
         or None when no e <= SUF_BITS-2 makes every fine bucket fit P slots
         (pathological: >P identical (hi, lo-prefix) k-mers at max e).
         A forced ``e`` pins the fine-bucket split (the sharded router needs
         one uniform split across shards); it must satisfy the depth bound.
 
-          ptab[b]  = (global slot position, count) of fine bucket b
+          ptab[b]  = slot_pos << 4 | (count-1) packed in one u32 (count <=
+                     P <= 16 by construction; empty bucket = 0xFFFFFFFF);
+                     halves the fine-bucket table, which dominates paged
+                     memory at P=8 (e grows to keep max depth <= P).
+                     Caps slot_pos < 2^28 — shard the index above ~250M
+                     k-mers per device (the router does).
           page row = P slots of (lo u32, count<<16|ng, tids[MT] zero-padded);
                      empty slots hold lo = 0xFFFFFFFF (real lo < 2^SUF_BITS)
 
@@ -381,6 +388,7 @@ class KmerIndex:
         """
         if P is None:
             P = self._PAGED_SLOTS
+        assert P <= 16, "packed ptab stores count-1 in 4 bits"
         N = self.n_kmers
         MT = self.max_tids
         W = 2 + MT
@@ -436,7 +444,14 @@ class KmerIndex:
             pages[pg[:, None], off[:, None], 2 + cols] = np.where(
                 msk, self.tid_flat[src], 0
             )
-        ptab = np.stack([pos, counts], axis=1).astype(np.int32)
+        if pos.size and int(pos.max()) >= (1 << 28):
+            return None  # packed-pos overflow: shard the index first
+        ptab = np.where(
+            counts > 0,
+            (pos.astype(np.uint32) << 4)
+            | (np.maximum(counts, 1).astype(np.uint32) - 1),
+            np.uint32(0xFFFFFFFF),
+        ).astype(np.uint32)
         return ptab, pages.reshape(max(page_base, 1), P * W), e, P
 
     def to_device(self, device=None, dense_lists: bool | None = None,
@@ -484,10 +499,16 @@ class KmerIndex:
             if max_b <= self._FUSED_RMAX and nbytes <= self._FUSED_AUTO_LIMIT:
                 fused = self.fused_tables()
             else:
-                # paged slack is ~1.1-1.3x; 1.5x bounds the auto decision
+                # paged slack is ~1.1-1.3x; 1.5x bounds the pre-build
+                # estimate, and the ACTUAL table bytes (ptab can grow when
+                # one deep bucket forces a fine split) gate the decision
                 est = self.n_kmers * (2 + self.max_tids) * 4 * 1.5
                 if est <= self._PAGED_AUTO_LIMIT:
                     paged = self.paged_tables()
+                    if paged is not None:
+                        total = paged[0].nbytes + paged[1].nbytes
+                        if total > self._PAGED_AUTO_LIMIT:
+                            paged = None
         if paged is not None:
             ptab, pages, pe, pp = paged
             return DeviceIndex(
@@ -720,9 +741,12 @@ def probe_paged(ptab, pages, P, e, max_tids, b, lo, valid):
     W = 2 + MT
     lgp = P.bit_length() - 1
     fb = (b << e) | (lo >> (SUF_BITS - e)).astype(jnp.int32)
-    bt = jnp.take(ptab, fb, axis=0, mode="clip")  # [..., 2]
-    pos = bt[..., 0]
-    cnt = bt[..., 1]
+    bt = jnp.take(ptab, fb, mode="clip")  # [...] packed u32
+    empty = bt == jnp.uint32(0xFFFFFFFF)
+    pos = jnp.where(empty, jnp.uint32(0), bt >> 4).astype(jnp.int32)
+    cnt = jnp.where(
+        empty, jnp.int32(0), (bt & jnp.uint32(0xF)).astype(jnp.int32) + 1
+    )
     row = jnp.take(pages, pos >> lgp, axis=0, mode="clip")  # [..., P*W]
     rr = row.reshape(row.shape[:-1] + (P, W))
     off = pos & (P - 1)
