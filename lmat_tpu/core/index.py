@@ -400,17 +400,43 @@ class KmerIndex:
         n_coarse = len(bcounts)
         hi_all = np.repeat(np.arange(n_coarse, dtype=np.int64), bcounts)
         lo_all = self.suffix.astype(np.int64)
-        e_range = range(0, SUF_BITS - 1) if e is None else (e,)
-        for e in e_range:
-            nb = n_coarse << e
+
+        def split_at(ee):
+            nb = n_coarse << ee
             if nb > (1 << 31):
+                return None, None
+            fb = (hi_all << ee) | (lo_all >> (SUF_BITS - ee))
+            return fb, np.bincount(fb, minlength=nb)
+
+        if e is not None:
+            fb, counts = split_at(e)
+            if counts is None or (counts.max() if counts.size else 0) > P:
                 return None
-            fb = (hi_all << e) | (lo_all >> (SUF_BITS - e))
-            counts = np.bincount(fb, minlength=nb)
-            if (counts.max() if counts.size else 0) <= P:
-                break
         else:
-            return None
+            # one fine histogram (mean occupancy ~0.5) + cheap pairwise
+            # folds down to the smallest e whose deepest bucket fits P —
+            # O(N) once instead of one full rescan per candidate e
+            e = 0
+            while N / max(n_coarse << e, 1) > 0.5 and e < SUF_BITS - 2:
+                e += 1
+            fb, counts = split_at(e)
+            while counts is not None and counts.size and counts.max() > P:
+                # skewed tail: keep splitting (rescan, rare)
+                if e >= SUF_BITS - 2:
+                    return None
+                e += 1
+                fb, counts = split_at(e)
+            if counts is None:
+                return None
+            e_fine = e
+            while e > 0:
+                folded = counts.reshape(-1, 2).sum(axis=1)
+                if folded.size and folded.max() > P:
+                    break
+                counts, e = folded, e - 1
+            if e != e_fine:
+                fb = fb >> (e_fine - e)
+        nb = n_coarse << e
 
         # count-class packing: buckets with count c go P//c per page
         pos = np.zeros(nb, np.int64)
