@@ -73,17 +73,26 @@ def main():
         return jnp.sum(x.astype(jnp.float32))
 
     results = {}
+    batches = jax.device_put(batches)
+    gcs = jax.device_put(gcs)
 
     def stage(name, fn):
-        def run(d, bs, gs):
+        # seed arg per call: the axon runtime MEMOIZES executions with
+        # identical arguments (returns the prior result in ~0.1ms), so every
+        # timed call must differ in at least one input (NOTES.md r4)
+        def run(d, bs, gs, seed):
             def body(c, xg):
                 return c + fn(d, xg[0], xg[1]), None
-            c, _ = lax.scan(body, jnp.float32(0), (bs, gs))
+            c, _ = lax.scan(body, seed.astype(jnp.float32), (bs, gs))
             return c
 
         f = jax.jit(run)
-        jax.block_until_ready(f(dev, batches, gcs))
-        dt = timeit(lambda: jax.block_until_ready(f(dev, batches, gcs))) / NB
+        jax.block_until_ready(f(dev, batches, gcs, jnp.float32(0)))
+        reps = 4
+        t0 = time.time()
+        outs = [f(dev, batches, gcs, jnp.float32(i + 1)) for i in range(reps)]
+        jax.block_until_ready(outs)
+        dt = (time.time() - t0) / reps / NB
         results[name] = round(dt * 1e3, 2)
         print(json.dumps({"stage": name, "ms": results[name]}), flush=True)
         return dt

@@ -169,10 +169,13 @@ def main():
     from jax import lax
 
     @jax.jit
-    def probe_scan(d, h, l):
+    def probe_scan(d, h, l, seed):
         # ITERS shifted query windows inside ONE jit: per-call RPC latency
         # (~25-40ms on the axon tunnel) cannot pollute the per-iter time,
-        # and the full reduction defeats DCE (NOTES.md methodology)
+        # and the full reduction defeats DCE.  The seed makes every timed
+        # call's arguments distinct: the axon runtime MEMOIZES identical
+        # executions and would otherwise serve cached results
+        # (NOTES.md r4 measurement pitfall).
         def body(c, i):
             hh = lax.dynamic_slice(h, (i,), (Q,))
             ll = lax.dynamic_slice(l, (i,), (Q,))
@@ -180,17 +183,17 @@ def main():
             return (c + found.sum().astype(jnp.int32) + ngv.sum()
                     + tids_.astype(jnp.uint32).sum().astype(jnp.int32)
                     + tmask_.sum(), 0)
-        c, _ = lax.scan(body, jnp.int32(0), jnp.arange(ITERS))
+        c, _ = lax.scan(body, seed, jnp.arange(ITERS))
         return c
 
     rates = {}
     for name, d in (("windowed", dix), ("paged", dixp)):
-        jax.block_until_ready(probe_scan(d, qhi, qlo))  # compile + warm
+        jax.block_until_ready(probe_scan(d, qhi, qlo, jnp.int32(0)))
+        reps = 3
         t0 = time.time()
-        for _ in range(3):
-            out = probe_scan(d, qhi, qlo)
-        jax.block_until_ready(out)
-        dt = (time.time() - t0) / 3 / ITERS
+        outs = [probe_scan(d, qhi, qlo, jnp.int32(i + 1)) for i in range(reps)]
+        jax.block_until_ready(outs)
+        dt = (time.time() - t0) / reps / ITERS
         rates[name] = Q / dt
         log(
             f"probe [{name}]: {Q:,} lookups in {dt * 1e3:.2f} ms/iter = "
