@@ -263,23 +263,41 @@ class FastClassifier:
     PREP_DEPTH = 3
 
     def _prep(self, reads, pad_to=None, fixed_rows=None):
-        """Producer-thread half of a step: pad + host GC bins."""
+        """Producer-thread half of a step: pad + host GC bins + the input
+        UPLOAD.  device_put here overlaps the ~0.5 MB/batch host->device
+        transfer with the previous batch's device step — over a remote
+        link that transfer is ~15 ms/batch of critical-path time if left
+        to the dispatch."""
+        import jax
+
         from ..core.encoding import host_gc_bins
 
-        arr = self.pad(reads, pad_to=pad_to, fixed_rows=fixed_rows)
-        return arr, host_gc_bins(arr, self.k)
+        import os
 
-    def _stream(self, batches, consume, pad_to=None, fixed_rows=None):
+        arr = self.pad(reads, pad_to=pad_to, fixed_rows=fixed_rows)
+        gcb = host_gc_bins(arr, self.k)
+        if getattr(self, "dev_index", None) is None or os.environ.get(
+            "LMAT_TPU_NO_PREPUT"
+        ):
+            # mesh-sharded classifiers let pjit place the (sharded) inputs
+            return arr, gcb
+        return jax.device_put(arr), jax.device_put(gcb)
+
+    def _stream(self, batches, consume, pad_to=None, fixed_rows=None,
+                work=None):
         """Shared pipelined driver: producer thread preps batch i+1..i+3,
-        the main thread dispatches in order, FETCH_DEPTH fetch threads pull
-        completed batches, and `consume(reads, fetched)` runs in order."""
+        the main thread dispatches in order, FETCH_DEPTH worker threads run
+        `work(reads, dev_out)` (default: the device fetch) for completed
+        batches, and `consume(reads, result)` runs in order."""
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
+        if work is None:
+            work = lambda reads, dev_out: self._fetch(dev_out)
         batches = list(batches)
         with ThreadPoolExecutor(max_workers=self.FETCH_DEPTH) as pool, \
                 ThreadPoolExecutor(max_workers=1) as prep:
-            pend = deque()  # (reads, future of fetched result), in order
+            pend = deque()  # (reads, future of work result), in order
             preps = {}
 
             def drain(keep):
@@ -295,7 +313,7 @@ class FastClassifier:
                         )
                 arr, gcb = preps.pop(i).result()
                 dev_out = self.step(arr, gcb)
-                pend.append((reads, pool.submit(self._fetch, dev_out)))
+                pend.append((reads, pool.submit(work, reads, dev_out)))
                 drain(self.FETCH_DEPTH)
             drain(0)
 
@@ -319,23 +337,36 @@ class FastClassifier:
     def classify_stream_native(self, batches, out, pad_to=None, fixed_rows=None):
         """Like classify_stream but formats with the native C formatter and
         writes the final byte stream to a binary sink; returns the read
-        count.  Requires io.native_writer.native_available()."""
+        count.  Requires io.native_writer.native_available().
+
+        The fetch AND the (pure) native format both run on the worker
+        threads — ctypes releases the GIL during the C call, so the ~5
+        ms/batch of formatting overlaps the device pipeline; only the
+        order-dependent tally updates and the final write stay on the main
+        thread."""
         n = 0
 
-        def consume(reads, fetched):
+        def work(reads, dev_out):
+            vals = self._resolve_router(reads, self._fetch(dev_out))
+            return vals, self._format_native_pure(reads, vals)
+
+        def consume(reads, res):
             nonlocal n
-            data = self.format_native(reads, fetched)
-            if data is None:
+            vals, pure = res
+            if pure is None:
                 # native formatter unavailable or overflow reroute:
                 # Python path (handles the exact-path fallback)
-                lines = self._format(reads, fetched)
+                lines = self._format_vals(reads, vals)
                 data = "".join(
                     l if l.endswith("\t") else l + "\n" for l in lines
                 ).encode()
+            else:
+                data = self._apply_native_tallies(reads, pure)
             out.write(data)
             n += len(reads)
 
-        self._stream(batches, consume, pad_to=pad_to, fixed_rows=fixed_rows)
+        self._stream(batches, consume, pad_to=pad_to, fixed_rows=fixed_rows,
+                     work=work)
         return n
 
     def pad(self, reads, pad_to=None, fixed_rows=None):
@@ -346,17 +377,14 @@ class FastClassifier:
             seqs = seqs + [""] * (fixed_rows - len(seqs))
         return pad_batch(seqs, pad_to=pad_to)
 
-    def format_native(self, reads, dev_out):
-        """Format a fetched batch with the native C formatter; returns the
-        final byte stream (newlines and the reject quirk included) and
-        updates the summary tallies.  Returns None when the native library
-        is unavailable — callers fall back to _format."""
-        import jax
-
+    def _format_native_pure(self, reads, vals):
+        """Thread-safe half of the native format: no shared-state updates.
+        Returns (data, track_tid, track_score, nomatch) or None when the
+        native library is unavailable or the batch needs the overflow
+        reroute (callers fall back to the Python path)."""
         from ..io.native_writer import fmt_out_lines
 
         cfg = self.scorer.cfg
-        vals = self._resolve_router(reads, self._fetch(dev_out))
         ints, flts, cand_sorted, score_sorted, overflow, _ = vals
         if int(np.max(overflow)) > 0:
             # rare: some reads overflowed the candidate table — take the
@@ -364,14 +392,15 @@ class FastClassifier:
             # the exact host classifier
             return None
         tid_sorted = self._node_tab[np.asarray(cand_sorted, np.int64)]
-        res = fmt_out_lines(
+        return fmt_out_lines(
             ints, flts, tid_sorted, score_sorted, reads,
             self.k, cfg.min_kmer, cfg.min_fnd_kmer, cfg.screen_phix,
             self.min_score,
         )
-        if res is None:
-            return None
-        data, track_tid, track_score, nomatch = res
+
+    def _apply_native_tallies(self, reads, pure):
+        """Order-dependent half: summary tallies; returns the byte stream."""
+        data, track_tid, track_score, nomatch = pure
         for i in range(len(reads)):
             t = int(track_tid[i])
             if t >= 0:
@@ -381,17 +410,30 @@ class FastClassifier:
                 self._nomatch(k)
         return data
 
+    def format_native(self, reads, dev_out):
+        """Format a fetched batch with the native C formatter; returns the
+        final byte stream (newlines and the reject quirk included) and
+        updates the summary tallies.  Returns None when the native library
+        is unavailable — callers fall back to _format."""
+        vals = self._resolve_router(reads, self._fetch(dev_out))
+        pure = self._format_native_pure(reads, vals)
+        if pure is None:
+            return None
+        return self._apply_native_tallies(reads, pure)
+
     def classify_batch(self, reads: list[tuple[str, str]], out=None):
         """reads: [(header, seq)]; writes lines to `out` (list or file)."""
         return self._format(reads, self.step(pad_batch([s for _, s in reads])), out)
 
     def _format(self, reads, dev_out, out=None):
-        import jax
-
-        cfg = self.scorer.cfg
         # one batched device_get: per-array fetches each pay a full
         # host<->device round trip, which dominates over remote links
-        vals = self._resolve_router(reads, self._fetch(dev_out))
+        return self._format_vals(
+            reads, self._resolve_router(reads, self._fetch(dev_out)), out
+        )
+
+    def _format_vals(self, reads, vals, out=None):
+        cfg = self.scorer.cfg
         ints, flts, cand_sorted, score_sorted, overflow, _ = vals
         tid_sorted = self._node_tab[np.asarray(cand_sorted, np.int64)]
         res = {

@@ -290,46 +290,81 @@ class KmerIndex:
     # fully-fused bucket-row layout: ONE row gather per query fetches bucket
     # b's complete records — R slots of (suffix, meta, taxids...) — so the
     # bucket_tab gather, every binary-search step AND the arena gather all
-    # disappear.  TPU row gathers are issue-rate bound (~40M rows/s) with row
-    # width nearly free to >=320 u32 (tools/profile_r3b.py), so collapsing
-    # 3 gathers to 1 is a direct probe win.  The cost is padding: every
-    # bucket row is R = next_pow2(max bucket) slots wide, a ~4-10x table
-    # blow-up over the windowed layout — a speed/memory tradeoff only small
-    # and mid-size DBs should take (capacity-bound DBs keep the lean
-    # windowed layout and shard across chips).  "auto" applies
-    # _FUSED_AUTO_LIMIT below.
+    # disappear.  Round-4 refinement: like the paged layout, the fused
+    # buckets borrow e extra suffix bits so R collapses to 8 (320B rows) —
+    # narrower rows cut both gather bytes and the O(R) record select
+    # (measured 9.4 vs 10.7 ms/2048-read batch at bench shapes).  The cost
+    # is padding: ~R/lambda slots per k-mer, so this is the SMALL-DB speed
+    # tier (the paged layout holds capacity DBs at ~1.1x padding).
     _FUSED_RMAX = 128
-    _FUSED_AUTO_LIMIT = 2 << 30
+    _FUSED_RTARGET = 8
+    _FUSED_FINE_LIMIT = 3 << 30
+    _FUSED_AUTO_LIMIT = 3 << 30
 
     def fused_tables(self):
         """Repack into the fused bucket-row layout, or None when the geometry
-        does not fit (deep buckets / memory blow-up past _FUSED_RMAX rows —
-        the one-hot record select costs O(R) VPU work per query, so very
-        deep buckets lose even when memory allows).
+        does not fit (deep buckets past _FUSED_RMAX at e=0 with the fine
+        split over _FUSED_FINE_LIMIT bytes — the one-hot record select costs
+        O(R) VPU work per query, so very deep buckets lose even when memory
+        allows).
 
-        Returns (fused_rows [n_buckets, R*(2+MT)] uint32, R): bucket b's slot
-        s holds (suffix, count<<16|ng, tids... zero-padded); empty slots have
-        suffix 0xFFFFFFFF (real suffixes are < 2^SUF_BITS).
+        Returns (fused_rows [nb, R*(2+MT)] uint32, R, e): fine bucket b's
+        slot s holds (suffix, count<<16|ng, tids... zero-padded); empty
+        slots have suffix 0xFFFFFFFF (real suffixes are < 2^SUF_BITS).
         Requires the dense-arena invariant (lists <= max_tids, enforced at
         build).  16-bit compacted arenas work unchanged: tids here are the
         same ids the conv_table translates.
         """
         bs = self.bucket_start.astype(np.int64)
-        counts = np.diff(bs)
-        max_b = int(counts.max()) if counts.size else 0
+        bcounts = np.diff(bs)
+        n_coarse = len(bcounts)
+        max_b = int(bcounts.max()) if bcounts.size else 0
+        MT = self.max_tids
+        W = 2 + MT
+
+        # classic coarse layout first: despite the fine-R8 probe measuring
+        # faster standalone (9.4 vs 10.7 ms), e2e bench runs SLOWER with it
+        # (80-86k vs 94k reads/s — the 4x bigger table costs more than the
+        # narrower rows save); the fine split is the DEEP-BUCKET fallback
+        # that keeps skewed DBs on the fused tier instead of downgrading
+        e = 0
+        counts = bcounts
         R = 8
         while R < max_b:
             R *= 2
-        if max_b > self._FUSED_RMAX:
-            return None
-        nb = len(counts)
-        MT = self.max_tids
-        W = 2 + MT
+        N = self.n_kmers
+        if max_b > self._FUSED_RMAX or n_coarse * R * W * 4 > self._FUSED_FINE_LIMIT:
+            # fine-bucket split to R=_FUSED_RTARGET (one histogram at ~0.5
+            # mean occupancy folded down, as in paged_tables)
+            R = self._FUSED_RTARGET
+            hi_all = np.repeat(np.arange(n_coarse, dtype=np.int64), bcounts)
+            lo_all = self.suffix.astype(np.int64)
+            while N / max(n_coarse << e, 1) > 0.5 and e < SUF_BITS - 2:
+                e += 1
+            fb = (hi_all << e) | (lo_all >> (SUF_BITS - e))
+            counts = np.bincount(fb, minlength=n_coarse << e)
+            while counts.size and counts.max() > R:
+                if e >= SUF_BITS - 2 or (n_coarse << (e + 1)) > (1 << 31):
+                    return None
+                e += 1
+                fb = (hi_all << e) | (lo_all >> (SUF_BITS - e))
+                counts = np.bincount(fb, minlength=n_coarse << e)
+            e_fine = e
+            while e > 0:
+                folded = counts.reshape(-1, 2).sum(axis=1)
+                if folded.size and folded.max() > R:
+                    break
+                counts, e = folded, e - 1
+            if (n_coarse << e) * R * W * 4 > self._FUSED_FINE_LIMIT:
+                return None
+        nb = n_coarse << e
         rows = np.zeros((nb, R, W), np.uint32)
         rows[:, :, 0] = 0xFFFFFFFF
-        # scatter each k-mer's record into (its bucket, its rank-in-bucket)
+        # scatter each k-mer's record into (its fine bucket, rank-in-bucket)
+        fbs = np.zeros(nb + 1, np.int64)
+        np.cumsum(counts, out=fbs[1:])
         bi = np.repeat(np.arange(nb), counts)
-        col = np.arange(self.n_kmers) - np.repeat(bs[:-1], counts)
+        col = np.arange(self.n_kmers) - np.repeat(fbs[:-1], counts)
         rows[bi, col, 0] = self.suffix
         ts = self.tid_start.astype(np.int64)
         count = (ts[1:] - ts[:-1]).astype(np.int64)
@@ -341,7 +376,7 @@ class KmerIndex:
             rows[bi[:, None], col[:, None], 2 + cols] = np.where(
                 msk, self.tid_flat[idx], 0
             )
-        return rows.reshape(nb, R * W), R
+        return rows.reshape(nb, R * W), R, e
 
     # paged layout: the capacity-scale probe (measured round 4,
     # tools/profile_r4.py at 100M k-mers on v5e).  Two row gathers per
@@ -515,16 +550,24 @@ class KmerIndex:
         elif layout == "auto" and dense_lists is None:
             # an explicit dense_lists choice pins the packed layout (callers
             # asking for a specific arena mode want that mode exercised)
-            bs = self.bucket_start.astype(np.int64)
-            counts = np.diff(bs)
-            max_b = int(counts.max()) if counts.size else 0
-            R = 8
-            while R < max_b:
-                R *= 2
-            nbytes = len(counts) * R * (2 + self.max_tids) * 4
-            if max_b <= self._FUSED_RMAX and nbytes <= self._FUSED_AUTO_LIMIT:
-                fused = self.fused_tables()
+            n_coarse = self.bucket_start.shape[0] - 1
+            counts_est = np.diff(self.bucket_start.astype(np.int64))
+            max_b = int(counts_est.max()) if counts_est.size else 0
+            R_est = 8
+            while R_est < max_b:
+                R_est *= 2
+            if max_b <= self._FUSED_RMAX:
+                nbytes = n_coarse * R_est * (2 + self.max_tids) * 4
             else:
+                # deep buckets take the fine-R8 branch: nb ~ max(n_coarse,
+                # 2N) at ~0.5 occupancy
+                nb_est = n_coarse
+                while self.n_kmers / max(nb_est, 1) > 0.5 and nb_est < (1 << 31):
+                    nb_est *= 2
+                nbytes = nb_est * self._FUSED_RTARGET * (2 + self.max_tids) * 4
+            if nbytes <= self._FUSED_AUTO_LIMIT:
+                fused = self.fused_tables()
+            if fused is None:
                 # paged slack is ~1.1-1.3x; 1.5x bounds the pre-build
                 # estimate, and the ACTUAL table bytes (ptab can grow when
                 # one deep bucket forces a fine split) gate the decision
@@ -551,7 +594,7 @@ class KmerIndex:
                 paged_pages=put(pages),
             )
         if fused is not None:
-            fused_rows, R = fused
+            fused_rows, R, fe = fused
             return DeviceIndex(
                 k=self.k,
                 bucket_tab=None,
@@ -560,10 +603,11 @@ class KmerIndex:
                 arena=None,
                 max_tids=self.max_tids,
                 search_depth=self.search_depth,
-                arena_mode=("fused", R),
+                arena_mode=("fused", R, fe),
                 conv_table=put(self.conv_table) if self.conv_table is not None else None,
                 fused_rows=put(fused_rows),
                 fused_r=R,
+                fused_e=fe,
             )
         tables, arena_shape = self.packed_tables(dense_lists)
         return DeviceIndex(
@@ -598,6 +642,7 @@ class DeviceIndex:
     conv_table: object = None
     fused_rows: object = None  # fused layout (see KmerIndex.fused_tables)
     fused_r: int = 0
+    fused_e: int = 0           # fine-bucket bits of the fused layout
     paged_tab: object = None   # paged layout (see KmerIndex.paged_tables)
     paged_pages: object = None
 
@@ -618,7 +663,7 @@ class DeviceIndex:
             )
         elif self.fused_rows is not None:
             found, ngv, tids, tmask = probe_fused(
-                self.fused_rows, self.fused_r, self.max_tids,
+                self.fused_rows, self.fused_r, self.fused_e, self.max_tids,
                 hi.astype(jnp.int32), lo, valid,
             )
         else:
@@ -637,19 +682,19 @@ class DeviceIndex:
 def _di_flatten(d):
     children = (d.bucket_tab, d.suffix_over, d.rec, d.arena, d.conv_table,
                 d.fused_rows, d.paged_tab, d.paged_pages)
-    aux = (d.k, d.max_tids, d.search_depth, d.arena_mode, d.fused_r)
+    aux = (d.k, d.max_tids, d.search_depth, d.arena_mode, d.fused_r, d.fused_e)
     return children, aux
 
 
 def _di_unflatten(aux, children):
-    k, max_tids, search_depth, arena_mode, fused_r = aux
+    k, max_tids, search_depth, arena_mode, fused_r, fused_e = aux
     (bucket_tab, suffix_over, rec, arena, conv_table, fused_rows,
      paged_tab, paged_pages) = children
     return DeviceIndex(
         k=k, bucket_tab=bucket_tab, suffix_over=suffix_over, rec=rec,
         arena=arena, max_tids=max_tids, search_depth=search_depth,
         arena_mode=arena_mode, conv_table=conv_table,
-        fused_rows=fused_rows, fused_r=fused_r,
+        fused_rows=fused_rows, fused_r=fused_r, fused_e=fused_e,
         paged_tab=paged_tab, paged_pages=paged_pages,
     )
 
@@ -789,23 +834,29 @@ def probe_paged(ptab, pages, P, e, max_tids, b, lo, valid):
     return found, ngv, tids, tmask
 
 
-def probe_fused(fused_rows, R, max_tids, b, lo, valid):
-    """Fused bucket-row probe: ONE row gather per query fetches bucket b's
-    complete records — R slots of (suffix, meta, taxids...) — so no
+def probe_fused(fused_rows, R, e, max_tids, b, lo, valid):
+    """Fused bucket-row probe: ONE row gather per query fetches fine bucket
+    b's complete records — R slots of (suffix, meta, taxids...) — so no
     bucket_tab gather, no binary-search steps and no arena gather remain
-    (vs probe_packed's three gathers).  Row gathers are issue-rate bound
-    with width nearly free (tools/profile_r3b.py), so this is the
-    fastest probe when the padded table fits memory.
+    (vs probe_packed's three gathers).  Fine buckets (e extra suffix bits)
+    keep R at 8 = 320B rows, under the gather-issue break-even width
+    (NOTES.md r4 cost model).
 
-    b: int32 bucket id [...]; lo: uint32 suffix; valid: bool.
+    b: int32 coarse bucket id [...]; lo: uint32 suffix; valid: bool.
     """
     import jax.numpy as jnp
 
     MT = max_tids
     W = 2 + MT
-    # issue the gather as 4 independent slices: the gather engine overlaps
-    # independent gathers ~1.5x (64M vs 44M rows/s, tools/profile_r3i.py)
-    G = 4
+    # issue the gather as 4 independent slices on the classic coarse layout:
+    # the gather engine overlaps independent gathers ~1.5x there (64M vs 44M
+    # rows/s, tools/profile_r3i.py).  The fine-split R=8 layout measured
+    # FASTER unsplit (9.4 ms vs 10.7 for split R16 at bench shapes) — narrow
+    # rows are already under the issue break-even width, so splitting only
+    # fragments the stream.
+    G = 1 if e else 4
+    if e:
+        b = (b << e) | (lo >> (SUF_BITS - e)).astype(jnp.int32)
     shape = b.shape
     Q = 1
     for s in shape:

@@ -173,20 +173,24 @@ def test_fused_layout_respects_validity_and_auto_policy():
         np.asarray(hi).reshape(1, -1), np.asarray(lo).reshape(1, -1), valid))
     assert not f[0, 1::2].any()
     assert f[0, ::2].all()
-    # deep buckets exceed _FUSED_RMAX -> auto falls back to the paged
-    # capacity layout (round 4); windowed remains reachable explicitly
+    # deep buckets no longer force a layout downgrade: the fused layout
+    # borrows fine-bucket bits (e > 0) to keep R at 8 (round 4), and the
+    # probe stays exact; windowed remains reachable explicitly
     lows = rng.choice(np.arange(0, 1 << 16, dtype=np.uint64), size=300, replace=False)
     deep = (np.uint64(0xA) << np.uint64(20)) | lows
     lists2 = [np.array([5], np.uint32)] * len(deep)
     idx2 = KmerIndex.build(deep, lists2, k, max_tids=4)
     dev2 = idx2.to_device()
-    assert dev2.fused_rows is None and dev2.paged_tab is not None
+    assert dev2.fused_rows is not None and dev2.fused_e > 0
+    hi2, lo2 = split64(deep[:64])
+    f2, n2_, t2_, m2_ = (np.asarray(x) for x in dev2.lookup(
+        np.asarray(hi2), np.asarray(lo2), np.ones(64, bool)))
+    assert f2.all() and (n2_ == 1).all()
     devw = idx2.to_device(layout="window")
     assert devw.bucket_tab is not None
-    import pytest
-
-    with pytest.raises(ValueError):
-        idx2.to_device(layout="fused")
+    # explicit fused also succeeds now (the fine split handles the depth)
+    devf = idx2.to_device(layout="fused")
+    assert devf.fused_rows is not None
 
 
 def test_empty_tid_lists_and_layout_validation():
