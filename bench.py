@@ -12,6 +12,14 @@ Prints ONE json line:
 
 Baseline: the reference classifies 2317 reads/s on its bundled example
 (8 OpenMP threads, BASELINE.md row 1).
+
+Measurement integrity (round 5): the runtime memoizes identical executions
+(NOTES.md round-4 pitfall), so repeating the SAME batches for a best-of pass
+can return in ~0.1 ms/batch and fake the number.  Every timed pass here runs
+its own DISTINCT batches; the two passes are both honest and best-of only
+absorbs tunnel variance.  Set BENCH_REPLAY=1 to add a third diagnostic pass
+that replays pass 1's batches verbatim (quantifies memoization inflation —
+not used for the metric).
 """
 
 import json
@@ -163,19 +171,47 @@ def make_reads_coverage(genomes, rng, n):
     return reads
 
 
+def _cache_dir():
+    """Persistent compile cache: XLA compilation dominates setup.  /tmp does
+    NOT survive into the driver's bench environment (r04 setup was 323 s with
+    a warm /tmp cache on the build host), so the cache lives in the repo and
+    its entries are committed; /tmp remains the fallback."""
+    repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        os.makedirs(repo, exist_ok=True)
+        probe = os.path.join(repo, ".w")
+        with open(probe, "w"):
+            pass
+        os.remove(probe)
+        return repo
+    except OSError:
+        return "/tmp/jax_cache"
+
+
 def main():
-    t_setup = time.time()
+    phases = {}
+    t0 = time.time()
+
+    def mark(name):
+        nonlocal t0
+        now = time.time()
+        phases[name] = round(now - t0, 1)
+        t0 = now
+
     import jax
 
-    # persistent compile cache: XLA compilation of the scorer dominates setup
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from lmat_tpu.apps.read_label_fast import FastClassifier
     from lmat_tpu.apps.read_label_score_device import DeviceScorer, DeviceScorerConfig
 
+    mark("import")
+
     tax, leaves = build_taxonomy()
     idx, kmers, groups = build_index(tax, leaves)
+    mark("build_db")
+
     cfg = DeviceScorerConfig(
         max_candidates=int(os.environ.get("BENCH_CAND", 32)), min_kmer=30
     )
@@ -184,35 +220,51 @@ def main():
     layout = os.environ.get("BENCH_LAYOUT", "auto")
     fast = FastClassifier(remapped.to_device(layout=layout), scorer, k=K,
                           dedup_frac=DEDUP or None)
+    mark("init_upload")
 
     rng = np.random.default_rng(99)
+    n_gen = 2 * N_BATCHES + 1  # one warm-up batch + two disjoint timed passes
     if WORKLOAD == "coverage":
         genomes = make_genomes(kmers, groups, rng, n_org=N_ORGS)
-        batches = [make_reads_coverage(genomes, rng, B) for _ in range(N_BATCHES)]
+        batches = [make_reads_coverage(genomes, rng, B) for _ in range(n_gen)]
     else:
-        batches = [make_reads(kmers, groups, rng, B) for _ in range(N_BATCHES)]
-    fast.classify_batch(batches[0])  # warm/compile
+        batches = [make_reads(kmers, groups, rng, B) for _ in range(n_gen)]
+    mark("gen_reads")
 
     from lmat_tpu.io.native_writer import native_available
 
-    def timed_run():
+    def timed_run(bs):
         t0 = time.time()
         if native_available():
             import io as _io
 
             sink = _io.BytesIO()
-            n = fast.classify_stream_native(batches, sink)
+            n = fast.classify_stream_native(bs, sink)
             assert sink.getvalue()
         else:
-            n = len(fast.classify_stream(batches))
+            n = len(fast.classify_stream(bs))
         return n, time.time() - t0
 
-    # two passes, best-of: the remote-tunnel link adds high run-to-run
-    # variance that has nothing to do with the pipeline
-    n_reads, dt = timed_run()
-    n2, dt2 = timed_run()
-    dt = min(dt, dt2)
+    timed_run(batches[:1])  # warm: compile + thread pools + caches
+    mark("compile_warm")
+
+    # two timed passes over DISJOINT batch sets: both honest (execution
+    # memoization cannot hit — no argument values repeat), best-of only
+    # absorbs run-to-run tunnel variance
+    warm = 1
+    n_reads, dt1 = timed_run(batches[warm : warm + N_BATCHES])
+    n2, dt2 = timed_run(batches[warm + N_BATCHES : warm + 2 * N_BATCHES])
+    assert n2 == n_reads
+    dt = min(dt1, dt2)
     rps = n_reads / dt
+
+    replay = {}
+    if os.environ.get("BENCH_REPLAY"):
+        # diagnostic only: replay pass 1's exact batches — if the runtime
+        # memoizes, this runs impossibly fast (the round-2/3 inflation mode)
+        _, dt3 = timed_run(batches[warm : warm + N_BATCHES])
+        replay = {"replay_s": round(dt3, 3),
+                  "replay_reads_per_sec": round(n_reads / dt3, 1)}
 
     metric = "reads_per_sec_e2e"
     if WORKLOAD != "mixed":
@@ -224,13 +276,18 @@ def main():
                 "value": round(rps, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 2),
-                "setup_s": round(time.time() - t_setup - dt - dt2, 1),
+                "setup_s": round(sum(phases.values()), 1),
+                "setup_phases": phases,
+                "pass_reads_per_sec": [round(n_reads / dt1, 1),
+                                       round(n_reads / dt2, 1)],
+                **replay,
             }
         )
     )
     print(
-        f"# setup {t_setup and time.time() - t_setup:.1f}s; {n_reads} reads in "
-        f"{dt:.2f}s; db {idx.n_kmers} kmers; {len(tax.parent)} taxa",
+        f"# setup {sum(phases.values()):.1f}s {phases}; {n_reads} reads in "
+        f"{dt:.2f}s (passes {dt1:.2f}/{dt2:.2f}); db {idx.n_kmers} kmers; "
+        f"{len(tax.parent)} taxa",
         file=sys.stderr,
     )
 

@@ -41,10 +41,12 @@ def pad_batch(seqs: list, pad_to: int | None = None, multiple: int = 32):
     return out
 
 
-def prepare_reads(batch, k: int):
+def prepare_reads(batch, k: int, packed: bool = False):
     """Stages 1-3: codes -> canonical kmers -> dedup + stats.
 
-    batch: [B, L] uint8 (jax or numpy). Returns a dict of [B, P]/[B] arrays:
+    batch: [B, L] uint8 ASCII (jax or numpy), or — with packed=True — the
+    [B, L/2] nibble-packed form from core.encoding.pack_nibbles (half the
+    host->device upload bytes). Returns a dict of [B, P]/[B] arrays:
       hi, lo        uint32   canonical k-mer lanes
       qvalid        bool     valid window AND first occurrence (queryable)
       wvalid        bool     valid window (dups included)
@@ -53,7 +55,12 @@ def prepare_reads(batch, k: int):
     """
     import jax.numpy as jnp
 
-    codes, bvalid = device_ascii_to_codes(batch)
+    if packed:
+        from ..core.encoding import device_nibbles_to_codes
+
+        codes, bvalid = device_nibbles_to_codes(batch)
+    else:
+        codes, bvalid = device_ascii_to_codes(batch)
     B, L = codes.shape
     P = L - k + 1
     hi, lo, wvalid = device_canonical_kmers(codes, bvalid, k)

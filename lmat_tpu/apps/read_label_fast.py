@@ -46,7 +46,10 @@ class FastClassifier:
         # dev_index is a jit ARGUMENT (DeviceIndex is a pytree): capturing the
         # tables in the closure would embed them as HLO constants
         def step(dev_index, batch, gc_bins):
-            prep = prepare_reads(batch, k)
+            # batch arrives nibble-packed ([B, L/2] uint8, two bases/byte):
+            # half the host->device upload bytes of the ASCII form (run()
+            # and _prep() pack on the host)
+            prep = prepare_reads(batch, k, packed=True)
             if dedup_frac:
                 # cross-read k-mer dedup: probe distinct k-mers once (reads
                 # from one organism share most k-mers); undersized caps are
@@ -114,13 +117,18 @@ class FastClassifier:
             return (ints, flts, cs, ss, ovf, jnp.int32(0),
                     m, flat_c.astype(cs.dtype), flat_s, flat_ovf)
 
-        from ..core.encoding import host_gc_bins
+        from ..core.encoding import host_gc_bins, pack_nibbles
 
         jit_step = jax.jit(step)
 
         def run(batch_np, gcb=None):
+            # convention: a call WITHOUT gc bins carries the raw ASCII
+            # batch (pack here); a call WITH them comes from the _prep
+            # producer thread, which already packed (and uploaded) it
             if gcb is None:
-                gcb = host_gc_bins(np.asarray(batch_np), k)
+                arr = np.asarray(batch_np)
+                gcb = host_gc_bins(arr, k)
+                batch_np = pack_nibbles(arr)
             return jit_step(self.dev_index, batch_np, gcb)
 
         self.step = run
@@ -270,18 +278,20 @@ class FastClassifier:
         to the dispatch."""
         import jax
 
-        from ..core.encoding import host_gc_bins
+        from ..core.encoding import host_gc_bins, pack_nibbles
 
         import os
 
         arr = self.pad(reads, pad_to=pad_to, fixed_rows=fixed_rows)
         gcb = host_gc_bins(arr, self.k)
-        if getattr(self, "dev_index", None) is None or os.environ.get(
-            "LMAT_TPU_NO_PREPUT"
-        ):
-            # mesh-sharded classifiers let pjit place the (sharded) inputs
+        if getattr(self, "dev_index", None) is None:
+            # mesh-sharded classifiers let pjit place the (sharded, raw
+            # ASCII) inputs
             return arr, gcb
-        return jax.device_put(arr), jax.device_put(gcb)
+        packed = pack_nibbles(arr)
+        if os.environ.get("LMAT_TPU_NO_PREPUT"):
+            return packed, gcb
+        return jax.device_put(packed), jax.device_put(gcb)
 
     def _stream(self, batches, consume, pad_to=None, fixed_rows=None,
                 work=None):

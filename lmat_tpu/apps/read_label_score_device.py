@@ -61,13 +61,19 @@ class DeviceScorer:
         self.index = arr["index"]
         n = len(self.tids)
         self.n_nodes = n
-        self.depth = jnp.asarray(arr["depth"])
-        self.euler_in = jnp.asarray(arr["euler_in"])
-        self.euler_out = jnp.asarray(arr["euler_out"])
-        self.path_mat = jnp.asarray(arr["path_mat"])
+        # taxonomy arrays stay HOST numpy on purpose: they are closed over
+        # by the jitted step and lowering embeds numpy constants directly,
+        # while device-resident jax arrays are fetched BACK host-side by
+        # ir_constant during lowering — ~50 s/array over a remote
+        # host<->device link (round-5 cold-start root cause; they still end
+        # up on-device once, baked into the compiled executable)
+        self.depth = np.ascontiguousarray(arr["depth"])
+        self.euler_in = np.ascontiguousarray(arr["euler_in"])
+        self.euler_out = np.ascontiguousarray(arr["euler_out"])
+        self.path_mat = np.ascontiguousarray(arr["path_mat"])
         self.max_path = arr["path_mat"].shape[1]
-        self.rank_code = jnp.asarray(arr["rank_code"])
-        self.species_anc = jnp.asarray(arr["species_anc"])
+        self.rank_code = np.ascontiguousarray(arr["rank_code"])
+        self.species_anc = np.ascontiguousarray(arr["species_anc"])
 
         def idx_of(tid):
             return self.index.get(tid, -1)
@@ -84,9 +90,9 @@ class DeviceScorer:
                 phix[i] = True
             if 10000000 <= t < 11000000:
                 plasmid[i] = True
-        self.is_human = jnp.asarray(human)
-        self.is_phix = jnp.asarray(phix)
-        self.is_plasmid = jnp.asarray(plasmid)
+        self.is_human = human
+        self.is_phix = phix
+        self.is_plasmid = plasmid
         self.idx_human = idx_of(9606)
         self.idx_art = idx_of(32630)
 
@@ -97,7 +103,7 @@ class DeviceScorer:
             | (phix.astype(np.int32) << 1)
             | (plasmid.astype(np.int32) << 2)
         )
-        self.node_pack = jnp.asarray(
+        self.node_pack = (
             np.stack(
                 [arr["euler_in"].astype(np.int32),
                  arr["euler_out"].astype(np.int32),
@@ -130,10 +136,9 @@ class DeviceScorer:
                         continue
                     cut[li, i, :] = [float(c) for c in cutoffs]
                     cls[li, i] = RANK2NUM.get(rc[tid], 0)
-            import jax.numpy as jnp2
-
-            self.null_cut = jnp2.asarray(cut)
-            self.null_cls = jnp2.asarray(cls)
+            # host numpy for the same reason as the taxonomy arrays above
+            self.null_cut = cut
+            self.null_cls = cls
             # closest() boundaries
             vec = sorted(null_model.read_len_vec)
             self.rl_vec = np.asarray(vec, np.int32)
@@ -437,9 +442,11 @@ class DeviceScorer:
             li = jnp.clip(li, 0, len(self.null_lens) - 1)
             have_model = jnp.take(jnp.asarray(self.null_lens), li, mode="clip") == sel_len
             gc_bin = jnp.clip(probe["bin_sel"], 0, self.num_bins - 1)
-            cut = self.null_cut[li[:, None], cand, gc_bin[:, None]]  # [B,C]
+            # jnp wrap: the tables are host numpy (see __init__) and numpy
+            # rejects tracer fancy-indexing
+            cut = jnp.asarray(self.null_cut)[li[:, None], cand, gc_bin[:, None]]  # [B,C]
             rp = jnp.where(cut >= NOT_FOUND_PROB, F32(1.0), cut + F32(0.0001))
-            cls = self.null_cls[li[:, None], cand]  # [B,C]
+            cls = jnp.asarray(self.null_cls)[li[:, None], cand]  # [B,C]
             # per-class max + prefix max over class ranks (order-free track)
             NBC = 10
             cls_max = jnp.zeros((B, NBC), F32)

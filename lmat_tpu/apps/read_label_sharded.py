@@ -25,6 +25,21 @@ from ..parallel.router import ShardedIndex, make_sharded_lookup
 from .read_label_fast import FastClassifier
 
 
+def _shard_layout(layout: str) -> str:
+    """Map a CLI --layout value onto the shard layouts the router supports.
+    "auto" = the minimum-memory windowed layout; "fused" has no sharded
+    form (its bucket rows are not uniform across shards) and is rejected
+    rather than silently substituted."""
+    if layout in (None, "", "auto"):
+        return "window"
+    if layout not in ("window", "paged"):
+        raise ValueError(
+            f"--layout {layout!r} is not available with a sharded mesh "
+            "(choose auto, window, or paged)"
+        )
+    return layout
+
+
 class ShardedFastClassifier(FastClassifier):
     """FastClassifier whose probe routes through a mesh-sharded index.
 
@@ -53,8 +68,14 @@ class ShardedFastClassifier(FastClassifier):
         self._data_sharding = NamedSharding(mesh, P(("data", "db")))
         self._idx16 = self._init_node_tab(scorer)
         self._read_len = read_len
+        import threading
+
         self._runs = {}
         self._cap = cap if cap is not None else self._q_per_dev
+        # classify_stream_native runs _resolve_router on up to FETCH_DEPTH
+        # worker threads; the cap ratchet / jit-cache / step swap below must
+        # not interleave
+        self._router_lock = threading.Lock()
         self.step = self._build_run(self._cap)
         self.fallback = None
         self.track_count = {}
@@ -141,14 +162,25 @@ class ShardedFastClassifier(FastClassifier):
         """Router-capacity overflow degrade path: re-run the batch with a
         doubled cap (up to the q_per_device safe bound, at which overflow is
         impossible) instead of aborting."""
+        cap_used = None  # cap that produced `vals` (None = self.step's cap)
         while int(vals[5]) > 0:
-            assert self._cap < self._q_per_dev, "router overflow at safe cap"
-            self._cap = min(self._cap * 2, self._q_per_dev)
-            run = self._build_run(self._cap)
+            with self._router_lock:
+                # serialized: concurrent worker threads must not interleave
+                # the cap ratchet (double-doubling), the _runs jit cache, or
+                # the step swap.  Another thread may have raised the cap
+                # while this one waited — then retry at the current cap
+                # before doubling again.
+                if cap_used is None or self._cap <= cap_used:
+                    assert self._cap < self._q_per_dev, (
+                        "router overflow at safe cap"
+                    )
+                    self._cap = min(self._cap * 2, self._q_per_dev)
+                cap_used = self._cap
+                run = self._build_run(cap_used)
+                # the ratchet is permanent: later batches dispatch straight
+                # at the raised cap instead of overflowing once per batch
+                self.step = run
             vals = self._fetch(run(self.pad(reads)))
-            # the ratchet is permanent: later batches dispatch straight at
-            # the raised cap instead of overflowing once per batch first
-            self.step = run
         return vals
 
     def pad(self, reads, pad_to=None, fixed_rows=None):
@@ -159,16 +191,20 @@ class ShardedFastClassifier(FastClassifier):
 def make_sharded_classifier(mesh, index, taxonomy, cfg, null_model=None,
                             k: int = 20, min_score: float = 0.0,
                             batch: int = 512, read_len: int = 256,
-                            cap: int | None = None):
+                            cap: int | None = None, layout: str = "auto"):
     """Build (scorer, ShardedFastClassifier) from a host KmerIndex: the
     index arena is remapped to node indices + flag bits, then sharded by
-    prefix bucket over the mesh's db axis."""
+    prefix bucket over the mesh's db axis.
+
+    layout: shard probe layout — "window" (minimum memory), "paged"
+    (capacity-scale speed tier), or "auto" (= window, the safe default for
+    arbitrary shard geometries)."""
     from .read_label_score_device import DeviceScorer
 
     n_db = mesh.shape["db"]
     scorer = DeviceScorer(taxonomy, cfg, null_model=null_model)
     remapped = scorer.remap_index_tids(index)
-    sidx = ShardedIndex.from_index(remapped, n_db)
+    sidx = ShardedIndex.from_index(remapped, n_db, layout=_shard_layout(layout))
     clf = ShardedFastClassifier(mesh, sidx, scorer, k=k, min_score=min_score,
                                 batch=batch, read_len=read_len, cap=cap)
     return scorer, clf

@@ -151,7 +151,7 @@ def _make_fast(tax, index, args, null):
         _, clf = make_multihost_classifier(
             mesh, index, tax, cfg, null_model=null, k=index.k,
             min_score=args.min_score, batch=getattr(args, "batch", 0) or 512,
-            read_len=read_len,
+            read_len=read_len, layout=getattr(args, "layout", "auto") or "auto",
         )
         return clf
     if mesh_spec:
@@ -170,7 +170,7 @@ def _make_fast(tax, index, args, null):
         _, clf = make_sharded_classifier(
             mesh, index, tax, cfg, null_model=null, k=index.k,
             min_score=args.min_score, batch=getattr(args, "batch", 0) or 512,
-            read_len=read_len,
+            read_len=read_len, layout=getattr(args, "layout", "auto") or "auto",
         )
         return clf
     scorer = DeviceScorer(tax, cfg, null_model=null)

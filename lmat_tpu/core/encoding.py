@@ -161,6 +161,37 @@ def _jax():
     return jnp
 
 
+# 4-bit base alphabet for the packed host->device transfer: 0..3 = acgt
+# (either case), 4 = any other base (invalid), 15 = zero padding.  Two bases
+# per byte halves the input upload, which is critical-path bandwidth on
+# remote host<->device links (the reference reads ASCII from a local queue,
+# read_label.cpp:1651-1713 — a TPU feeder ships bytes instead).
+_NIB_LUT = np.full(256, 4, dtype=np.uint8)
+for _i, _c in enumerate(b"acgt"):
+    _NIB_LUT[_c] = _i
+    _NIB_LUT[_c - 32] = _i  # upper case
+_NIB_LUT[0] = 15
+
+
+def pack_nibbles(arr: np.ndarray) -> np.ndarray:
+    """[B, L] uint8 ASCII (L even) -> [B, L/2] uint8, two 4-bit base codes
+    per byte (even position in the high nibble).  Host numpy."""
+    assert arr.shape[1] % 2 == 0, "pad length must be even to nibble-pack"
+    nib = _NIB_LUT[arr]
+    return (nib[:, 0::2] << 4) | nib[:, 1::2]
+
+
+def device_nibbles_to_codes(packed):
+    """[B, L/2] uint8 packed nibbles -> (codes int32 0..3, valid bool) of
+    shape [B, L].  Device-side inverse of pack_nibbles."""
+    jnp = _jax()
+    p = packed.astype(jnp.int32)
+    B, L2 = p.shape
+    nib = jnp.stack([p >> 4, p & 15], axis=-1).reshape(B, 2 * L2)
+    valid = nib < 4
+    return jnp.where(valid, nib, 0), valid
+
+
 def device_ascii_to_codes(batch):
     """[B, L] uint8 ASCII -> (codes int32 0..3, valid bool). JAX arrays."""
     jnp = _jax()

@@ -341,10 +341,19 @@ class KmerIndex:
             lo_all = self.suffix.astype(np.int64)
             while N / max(n_coarse << e, 1) > 0.5 and e < SUF_BITS - 2:
                 e += 1
+            # the byte-limit check must precede every bincount: the int64
+            # histogram is (n_coarse<<e)*8 B and on skewed DBs a post-hoc
+            # check would let a transient multi-GB allocation OOM the host
+            if (n_coarse << e) * R * W * 4 > self._FUSED_FINE_LIMIT:
+                return None
             fb = (hi_all << e) | (lo_all >> (SUF_BITS - e))
             counts = np.bincount(fb, minlength=n_coarse << e)
             while counts.size and counts.max() > R:
-                if e >= SUF_BITS - 2 or (n_coarse << (e + 1)) > (1 << 31):
+                if (
+                    e >= SUF_BITS - 2
+                    or (n_coarse << (e + 1)) > (1 << 31)
+                    or (n_coarse << (e + 1)) * R * W * 4 > self._FUSED_FINE_LIMIT
+                ):
                     return None
                 e += 1
                 fb = (hi_all << e) | (lo_all >> (SUF_BITS - e))
@@ -395,6 +404,10 @@ class KmerIndex:
     # 100M k-mers (32.0M lookups/s vs 26.8M at P=16 vs 21.4M at P=32,
     # tools/profile_r4.py v12/v11/v9) at equal total memory.
     _PAGED_SLOTS = 8
+    # fine-bucket cap for the paged layout: bounds the transient build-time
+    # host histogram at nb*8 = 4 GB and the ptab at nb*4 = 2 GB; DBs that
+    # need more fine buckets than this should be sharded first
+    _PAGED_NB_LIMIT = 1 << 29
     _PAGED_AUTO_LIMIT = 12 << 30
 
     def paged_tables(self, P: int | None = None, e: int | None = None):
@@ -424,6 +437,10 @@ class KmerIndex:
         if P is None:
             P = self._PAGED_SLOTS
         assert P <= 16, "packed ptab stores count-1 in 4 bits"
+        assert P & (P - 1) == 0, (
+            "probe_paged decodes page/offset with shift/mask: P must be a "
+            "power of two"
+        )
         N = self.n_kmers
         MT = self.max_tids
         W = 2 + MT
@@ -438,7 +455,10 @@ class KmerIndex:
 
         def split_at(ee):
             nb = n_coarse << ee
-            if nb > (1 << 31):
+            # bound the transient int64 histogram (nb*8 B) and the dense
+            # nb-sized pos/ptab arrays, not just the entry count: a skewed
+            # DB driving e up would otherwise OOM the host inside bincount
+            if nb > self._PAGED_NB_LIMIT:
                 return None, None
             fb = (hi_all << ee) | (lo_all >> (SUF_BITS - ee))
             return fb, np.bincount(fb, minlength=nb)
@@ -507,12 +527,16 @@ class KmerIndex:
             )
         if pos.size and int(pos.max()) >= (1 << 28):
             return None  # packed-pos overflow: shard the index first
-        ptab = np.where(
-            counts > 0,
-            (pos.astype(np.uint32) << 4)
-            | (np.maximum(counts, 1).astype(np.uint32) - 1),
-            np.uint32(0xFFFFFFFF),
-        ).astype(np.uint32)
+        packed = (pos.astype(np.uint32) << 4) | (
+            np.maximum(counts, 1).astype(np.uint32) - 1
+        )
+        if bool(np.any((counts > 0) & (packed == np.uint32(0xFFFFFFFF)))):
+            # a full P=16 bucket at slot_pos 2^28-1 would alias the
+            # empty-bucket sentinel and make its k-mers unfindable
+            return None
+        ptab = np.where(counts > 0, packed, np.uint32(0xFFFFFFFF)).astype(
+            np.uint32
+        )
         return ptab, pages.reshape(max(page_base, 1), P * W), e, P
 
     def to_device(self, device=None, dense_lists: bool | None = None,

@@ -176,17 +176,18 @@ class MultiHostFastClassifier:
 def make_multihost_classifier(mesh, index, taxonomy, cfg, null_model=None,
                               k: int = 20, min_score: float = 0.0,
                               batch: int = 512, read_len: int = 256,
-                              cap: int | None = None):
+                              cap: int | None = None, layout: str = "auto"):
     """Build a MultiHostFastClassifier from a host KmerIndex (each process
     holds the full host index and shards it identically — deterministic, no
     build-time communication)."""
     from ..apps.read_label_score_device import DeviceScorer
+    from ..apps.read_label_sharded import _shard_layout
     from ..parallel.router import ShardedIndex
 
     n_db = mesh.shape["db"]
     scorer = DeviceScorer(taxonomy, cfg, null_model=null_model)
     remapped = scorer.remap_index_tids(index)
-    sidx = ShardedIndex.from_index(remapped, n_db)
+    sidx = ShardedIndex.from_index(remapped, n_db, layout=_shard_layout(layout))
     clf = MultiHostFastClassifier(mesh, sidx, scorer, k=k, min_score=min_score,
                                   batch=batch, read_len=read_len, cap=cap)
     return scorer, clf

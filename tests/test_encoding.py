@@ -94,3 +94,27 @@ def test_device_matches_host():
         rk = ReadKmers(bytes(batch[b]), k)
         assert np.array_equal(np.asarray(wvalid)[b], rk.valid)
         assert np.array_equal(packed[b][rk.valid], rk.kmers[rk.valid])
+
+
+def test_nibble_pack_roundtrip():
+    """pack_nibbles/device_nibbles_to_codes match device_ascii_to_codes on
+    mixed-case, degenerate-base, and zero-padded batches."""
+    import numpy as np
+
+    from lmat_tpu.core.encoding import (
+        device_ascii_to_codes,
+        device_nibbles_to_codes,
+        pack_nibbles,
+    )
+
+    rng = np.random.default_rng(3)
+    alphabet = np.frombuffer(b"ACGTacgtNnRYX-", np.uint8)
+    arr = rng.choice(alphabet, size=(17, 64)).astype(np.uint8)
+    arr[3, 40:] = 0  # zero padding tail
+    arr[5, :] = 0
+    codes_a, valid_a = (np.asarray(x) for x in device_ascii_to_codes(arr))
+    packed = pack_nibbles(arr)
+    assert packed.shape == (17, 32) and packed.dtype == np.uint8
+    codes_p, valid_p = (np.asarray(x) for x in device_nibbles_to_codes(packed))
+    assert (codes_a == codes_p).all()
+    assert (valid_a == valid_p).all()

@@ -95,41 +95,70 @@ def test_lookups_match_host(tmp_path, ref_index):
     )
 
 
-oracle_img = pytest.mark.skipif(
-    not os.path.exists(os.path.join(PT, "fixture.db")),
-    reason="oracle .db images absent (tools/oracle/gen_perm_golden.sh)",
-)
+GZ_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "permdb")
 
 
-@oracle_img
-def test_oracle_image_k20(ref_index):
-    _assert_identical(load_perm_db(os.path.join(PT, "fixture.db")), ref_index)
+@pytest.fixture(scope="session")
+def perm_images(tmp_path_factory):
+    """Directory with the oracle-built .db heap images.
+
+    Prefers a live /tmp/permtest (tools/oracle/gen_perm_golden.sh output);
+    otherwise decompresses the committed gzipped images (the 4 GB heaps are
+    ~19 MB gzipped; all-zero regions are written sparsely) so the oracle
+    tests run on a fresh checkout with zero skips."""
+    if os.path.exists(os.path.join(PT, "fixture.db")):
+        return PT
+    import gzip
+
+    d = str(tmp_path_factory.mktemp("permdb"))
+    CH = 1 << 20
+    for name in ("fixture.db", "fixture18.db", "fixture16.db"):
+        src = os.path.join(GZ_DIR, name + ".gz")
+        if not os.path.exists(src):
+            pytest.skip(f"{name}.gz fixture absent "
+                        "(tools/oracle/gen_perm_golden.sh)")
+        dst = os.path.join(d, name)
+        with gzip.open(src, "rb") as f, open(dst, "wb") as o:
+            while True:
+                b = f.read(CH)
+                if not b:
+                    break
+                if b.count(0) == len(b):
+                    o.seek(len(b), 1)  # keep the heap file sparse
+                else:
+                    o.write(b)
+            o.truncate()
+    return d
+
+
+def test_oracle_image_k20(perm_images, ref_index):
     _assert_identical(
-        load_perm_db(os.path.join(PT, "fixture.db"), force_scan=True), ref_index
+        load_perm_db(os.path.join(perm_images, "fixture.db")), ref_index
+    )
+    _assert_identical(
+        load_perm_db(os.path.join(perm_images, "fixture.db"), force_scan=True),
+        ref_index,
     )
 
 
-@oracle_img
-def test_oracle_image_k18():
+def test_oracle_image_k18(perm_images):
     ref = build_from_tax_histo(
         [os.path.join(FIX, "work", "taxhisto18.bin")], k=18, max_tids=16
     )
-    if not os.path.exists(os.path.join(PT, "fixture18.db")):
-        pytest.skip("fixture18.db absent")
-    _assert_identical(load_perm_db(os.path.join(PT, "fixture18.db")), ref)
+    _assert_identical(
+        load_perm_db(os.path.join(perm_images, "fixture18.db")), ref
+    )
 
 
-@oracle_img
-def test_oracle_image_16bit(ref_index):
-    if not os.path.exists(os.path.join(PT, "fixture16.db")):
-        pytest.skip("fixture16.db absent")
+def test_oracle_image_16bit(perm_images, ref_index):
     cm = load_conv_map(os.path.join(FIX, "m32to16.map"))
-    imp = load_perm_db(os.path.join(PT, "fixture16.db"), conv_map=cm)
+    imp = load_perm_db(
+        os.path.join(perm_images, "fixture16.db"), conv_map=cm
+    )
     _assert_identical(imp, ref_index, conv16=True)
 
 
-@oracle_img
-def test_imported_image_classifies_identically(tmp_path, ref_index):
+def test_imported_image_classifies_identically(tmp_path, perm_images, ref_index):
     """End-to-end: exact-mode read_label on the imported native image is
     byte-identical to the oracle golden (rl_nonull)."""
     import argparse
@@ -138,7 +167,7 @@ def test_imported_image_classifies_identically(tmp_path, ref_index):
 
     out = str(tmp_path / "rl_imp")
     ns = argparse.Namespace(
-        db=os.path.join(PT, "fixture.db"),
+        db=os.path.join(perm_images, "fixture.db"),
         reads=os.path.join(FIX, "reads.fa"),
         tax_tree=os.path.join(FIX, "taxtree.dat"),
         depth=os.path.join(FIX, "depth.dat"),
