@@ -337,6 +337,10 @@ def build_from_tax_histo(paths, k: int, max_tids: int = 16,
                          human_kmers=None, adaptor_kmers=None) -> KmerIndex:
     """Ingest reference tax_histo binaries, preserving stored taxid order.
     Optional human/adaptor k-mer feeds replicate make_db_table -j/-u."""
+    from ..core.encoding import SMALL_K_MESSAGE, SUF_BITS
+
+    if not 2 * k > SUF_BITS:
+        raise ValueError(SMALL_K_MESSAGE.format(k=k))
     if isinstance(paths, str):
         paths = [paths]
 

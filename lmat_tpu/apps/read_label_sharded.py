@@ -97,7 +97,9 @@ class ShardedFastClassifier(FastClassifier):
                                      q_per_device=self._q_per_dev, cap=cap)
 
         def step(batch_arr, gc_bins):
-            prep = prepare_reads(batch_arr, k)
+            # nibble-packed input (see read_label_fast): halves the
+            # host->device upload, which crosses DCN on multi-host meshes
+            prep = prepare_reads(batch_arr, k, packed=True)
             B, Pp = prep["hi"].shape
             found, ng, tids, tmask, overflow = lookup(
                 prep["hi"].reshape(-1), prep["lo"].reshape(-1),
@@ -150,11 +152,12 @@ class ShardedFastClassifier(FastClassifier):
         pipelined _stream preps them on a producer thread)."""
         import jax
 
-        from ..core.encoding import host_gc_bins
+        from ..core.encoding import host_gc_bins, pack_nibbles
 
+        batch_np = np.asarray(batch_np)
         if gcb is None:
-            gcb = host_gc_bins(np.asarray(batch_np), self.k)
-        arr = jax.device_put(batch_np, self._data_sharding)
+            gcb = host_gc_bins(batch_np, self.k)
+        arr = jax.device_put(pack_nibbles(batch_np), self._data_sharding)
         bins = jax.device_put(gcb, self._data_sharding)
         return arr, bins
 

@@ -177,7 +177,8 @@ def _make_fast(tax, index, args, null):
     dev = scorer.remap_index_tids(index).to_device(
         layout=getattr(args, "layout", "auto") or "auto"
     )
-    return FastClassifier(dev, scorer, k=index.k, min_score=args.min_score)
+    return FastClassifier(dev, scorer, k=index.k, min_score=args.min_score,
+                          dedup_frac=getattr(args, "dedup", None) or None)
 
 
 def _run_fast(clf, args, f, n_shards, shard_id) -> int:

@@ -209,6 +209,31 @@ def cmd_report(args):
             samples.append((name, path))
         fastsummary_to_biom(samples, args.output)
         print(f"BIOM table -> {args.output}")
+    elif t == "phyloseq":
+        from ..reporting.phyloseq import phyloseq_tables, species_file_samples
+
+        if all(":" in spec for spec in args.inputs):
+            samples = [tuple(spec.split(":")[:2]) for spec in args.inputs]
+        else:
+            samples = species_file_samples(args.inputs)
+        tax = None
+        if args.tax_tree:
+            from ..core.taxonomy import Taxonomy
+
+            tax = Taxonomy.from_lmat_file(args.tax_tree)
+            if args.rank_file:
+                tax.load_rank_file(args.rank_file)
+        paths = phyloseq_tables(samples, args.output, threshold=args.min_score,
+                                taxonomy=tax)
+        print("phyloseq tables -> " + ", ".join(paths))
+    elif t == "pull-reads-fq":
+        from ..reporting.pull_reads import pull_reads_fq_pipeline
+
+        out = pull_reads_fq_pipeline(
+            args.inputs, args.id_file, args.fastq_file, args.min_score,
+            args.min_kmer, args.output,
+        )
+        print(f"pulled FASTQ records -> {out}")
     elif t == "html":
         from ..reporting.html_report import report_html
 
@@ -384,6 +409,12 @@ def main(argv=None):
                    help="device index layout: fused (small DBs, 1 gather), "
                         "paged (capacity speed tier, 2 gathers), window "
                         "(minimum memory)")
+    p.add_argument("--dedup", type=float, default=None,
+                   help="cross-read k-mer dedup cap as a fraction of batch "
+                        "windows (fast mode, single chip).  Wins ~30%% at "
+                        "sequencing coverage (reads share k-mers); leave off "
+                        "for low-duplication inputs — undersized caps reroute "
+                        "whole batches through the exact host path")
     p.add_argument("--mesh", default=None,
                    help='"data,db" device mesh: shard the DB over chips with '
                         "all_to_all query routing (fast mode)")
@@ -456,10 +487,14 @@ def main(argv=None):
 
     p = sub.add_parser("report", help="reporting/rescore utilities")
     p.add_argument("tool", choices=("losummary", "gsummary", "pull-reads",
-                                    "multi-table", "merge-fastsummary", "biom",
+                                    "pull-reads-fq", "multi-table",
+                                    "merge-fastsummary", "biom", "phyloseq",
                                     "html", "tolineage"))
     p.add_argument("-i", "--inputs", nargs="+", required=True,
-                   help="input files; multi-table/biom take name:path[:total] specs")
+                   help="input files; multi-table/biom/phyloseq take "
+                        "name:path[:total] specs")
+    p.add_argument("--fastq-file", default=None,
+                   help="pull-reads-fq: the original FASTQ to pull records from")
     p.add_argument("-o", "--output", default=".")
     p.add_argument("-x", "--min-score", type=float, default=0.0)
     p.add_argument("-j", "--min-kmer", type=int, default=30)

@@ -21,6 +21,22 @@ from __future__ import annotations
 import numpy as np
 
 SUF_BITS = 20
+
+# The device index geometry requires k >= 11 (the high k-mer lane, bits
+# above SUF_BITS, is the coarse bucket id — at 2k <= SUF_BITS there are no
+# high bits to bucket by).  This matches every DB the reference ships
+# (k in {18, 20}; /root/reference/bin/get_db.sh catalog) and the reference
+# use cases for smaller k — content_summ's multi-k counting
+# (src/content_summ.cpp:116-155) — need no DB at all.  The reference's
+# legacy TaxTable (src/kmerdb/TaxTable.hpp:81-190) would accept small k but
+# no shipped pipeline builds such a DB; this framework rejects it with this
+# documented error rather than carrying an untested path.
+SMALL_K_MESSAGE = (
+    "k={k} is below the supported minimum k=11: the two-level device index "
+    "buckets k-mers by their bits above {suf} (SUF_BITS), so 2k must exceed "
+    "{suf}.  All reference-shipped databases use k=18 or k=20; small-k "
+    "k-mer counting (content_summ) does not use a database."
+).replace("{suf}", str(SUF_BITS))
 SUF_MASK = (1 << SUF_BITS) - 1
 
 # ---------------------------------------------------------------------------
@@ -215,7 +231,9 @@ def device_canonical_kmers(codes, valid, k: int):
     jnp = _jax()
     B, L = codes.shape
     P = L - k + 1
-    assert P > 0 and 2 * k > SUF_BITS and k <= 26
+    if not 2 * k > SUF_BITS:
+        raise ValueError(SMALL_K_MESSAGE.format(k=k))
+    assert P > 0 and k <= 26
 
     u = codes.astype(jnp.uint32)
     fwd_hi = jnp.zeros((B, P), jnp.uint32)

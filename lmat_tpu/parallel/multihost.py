@@ -121,15 +121,17 @@ class MultiHostFastClassifier:
             def _stage_batch(self, batch_np, gcb=None):
                 import jax
 
-                from ..core.encoding import host_gc_bins
+                from ..core.encoding import host_gc_bins, pack_nibbles
 
+                batch_np = np.asarray(batch_np)
                 bins = gcb if gcb is not None else host_gc_bins(
-                    np.asarray(batch_np), self.k
+                    batch_np, self.k
                 )
                 B = self.batch
+                packed = pack_nibbles(batch_np)
                 arr = jax.make_array_from_process_local_data(
-                    self._data_sharding, np.ascontiguousarray(batch_np),
-                    (B,) + tuple(batch_np.shape[1:]),
+                    self._data_sharding, np.ascontiguousarray(packed),
+                    (B,) + tuple(packed.shape[1:]),
                 )
                 gb = jax.make_array_from_process_local_data(
                     self._data_sharding, np.ascontiguousarray(bins), (B,)

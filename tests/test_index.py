@@ -294,3 +294,25 @@ def test_paged_layout_empty_lists_and_empty_index():
     f, n, t, m = (np.asarray(x) for x in deve.lookup(
         np.asarray(hi), np.asarray(lo), np.ones(4, bool)))
     assert not f.any()
+
+
+def test_small_k_rejected_with_documented_error():
+    """k <= 10 (the legacy-TaxTable regime, SURVEY.md §2.1) is rejected with
+    the documented geometry error at both build and encode time — no shipped
+    reference DB uses small k and content_summ's small-k counting needs no
+    DB, so the framework refuses rather than carrying an untested path."""
+    import numpy as np
+    import pytest
+
+    from lmat_tpu.apps.make_db import build_from_tax_histo
+    from lmat_tpu.core.encoding import device_canonical_kmers
+
+    with pytest.raises(ValueError, match="below the supported minimum k=11"):
+        build_from_tax_histo([], k=10)
+    codes = np.zeros((2, 32), np.int32)
+    valid = np.ones((2, 32), bool)
+    with pytest.raises(ValueError, match="below the supported minimum k=11"):
+        device_canonical_kmers(codes, valid, 10)
+    # k=11 (the boundary) is accepted by the geometry check
+    hi, lo, wv = device_canonical_kmers(codes, valid, 11)
+    assert hi.shape == (2, 22)

@@ -32,7 +32,7 @@ USE_DEVICE = os.environ.get("SECOND_DEVICE", "1") != "0"
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_compilation_cache_dir", bench._cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from lmat_tpu.apps.content_summ import ContentSummarizer, ContentSummOptions

@@ -36,6 +36,9 @@ N = int(float(os.environ.get("SCALE_KMERS", 2e7)))
 MAX_TIDS = 8
 Q = int(os.environ.get("SCALE_QUERIES", 1 << 19))
 ITER = int(os.environ.get("SCALE_ITERS", 8))
+# shard layout under the router: "window" (minimum memory) or "paged" (the
+# capacity-scale speed tier a marker-DB deployment would run)
+LAYOUT = os.environ.get("SCALE_LAYOUT", "window")
 
 
 def log(msg):
@@ -50,11 +53,14 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench as _bench
+
+    jax.config.update("jax_compilation_cache_dir", _bench._cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from lmat_tpu.core.encoding import split64
-    from lmat_tpu.core.index import KmerIndex, probe_packed
+    from lmat_tpu.core.index import KmerIndex, probe_packed, probe_paged
     from lmat_tpu.parallel.mesh import make_mesh
     from lmat_tpu.parallel.router import ShardedIndex, make_sharded_lookup
 
@@ -73,8 +79,8 @@ def main():
     log(f"build: {idx.n_kmers:,} kmers in {time.time()-t0:.1f}s")
 
     mesh = make_mesh(data=1, db=1)
-    sidx = ShardedIndex.from_index(idx, 1, dense_lists=False)
-    assert sidx.arena_mode[0] == "window", sidx.arena_mode
+    sidx = ShardedIndex.from_index(idx, 1, dense_lists=False, layout=LAYOUT)
+    assert sidx.arena_mode[0] in ("window", "paged"), sidx.arena_mode
     routed = make_sharded_lookup(mesh, sidx, q_per_device=Q, cap=Q)
     raw_fn = routed.sharded_fn
 
@@ -99,7 +105,7 @@ def main():
                 + tids.astype(jnp.uint32).sum().astype(jnp.int32) + tmask.sum())
 
     @jax.jit
-    def g_routed(T, h, l):
+    def g_routed(T, h, l, seed):
         def body(c, i):
             hh = lax.dynamic_slice(h, (i,), (Q,))
             ll = lax.dynamic_slice(l, (i,), (Q,))
@@ -108,38 +114,45 @@ def main():
                 hh, ll, jnp.ones(Q, bool),
             )
             return c + reduce_out(f, ng, t, m) + ovf, 0
-        c, _ = lax.scan(body, jnp.int32(0), jnp.arange(ITER))
+        c, _ = lax.scan(body, seed, jnp.arange(ITER))
         return c
 
+    def direct_probe(T, hh, ll):
+        if sidx.arena_mode[0] == "paged":
+            return probe_paged(
+                T["bucket_tab"][0], T["suffix_over"][0], sidx.arena_mode[1],
+                sidx.arena_mode[2], MAX_TIDS, hh.astype(jnp.int32), ll,
+                jnp.ones(hh.shape[0], bool),
+            )
+        return probe_packed(
+            T["bucket_tab"][0], T["suffix_over"][0], T["rec"][0],
+            T["arena"][0], sidx.arena_mode, sidx.search_depth, MAX_TIDS,
+            hh.astype(jnp.int32), ll, jnp.ones(hh.shape[0], bool),
+        )
+
     @jax.jit
-    def g_direct(T, h, l):
+    def g_direct(T, h, l, seed):
         def body(c, i):
             hh = lax.dynamic_slice(h, (i,), (Q,))
             ll = lax.dynamic_slice(l, (i,), (Q,))
-            f, ng, t, m = probe_packed(
-                T["bucket_tab"][0], T["suffix_over"][0], T["rec"][0],
-                T["arena"][0], sidx.arena_mode, sidx.search_depth, MAX_TIDS,
-                hh.astype(jnp.int32), ll, jnp.ones(Q, bool),
-            )
+            f, ng, t, m = direct_probe(T, hh, ll)
             return c + reduce_out(f, ng, t, m), 0
-        c, _ = lax.scan(body, jnp.int32(0), jnp.arange(ITER))
+        c, _ = lax.scan(body, seed, jnp.arange(ITER))
         return c
 
     def timed(g):
-        jax.block_until_ready(g(tables, hi_p, lo_p))
+        # distinct seed per call: the runtime memoizes identical executions
+        # and would serve cached results (NOTES.md r4 pitfall)
+        jax.block_until_ready(g(tables, hi_p, lo_p, jnp.int32(0)))
         t0 = time.time()
-        for _ in range(3):
-            out = g(tables, hi_p, lo_p)
-        jax.block_until_ready(out)
+        outs = [g(tables, hi_p, lo_p, jnp.int32(r + 1)) for r in range(3)]
+        jax.block_until_ready(outs)
         return (time.time() - t0) / 3 / ITER
 
     # correctness: routed and direct must agree on the fixed query window
     f1, ng1, t1, m1, ovf = routed(hi_p[:Q], lo_p[:Q], np.ones(Q, bool))
     f2, ng2, t2, m2 = jax.jit(
-        lambda T, h, l: probe_packed(
-            T["bucket_tab"][0], T["suffix_over"][0], T["rec"][0], T["arena"][0],
-            sidx.arena_mode, sidx.search_depth, MAX_TIDS,
-            h.astype(jnp.int32), l, jnp.ones(Q, bool))
+        lambda T, h, l: direct_probe(T, h, l)
     )(tables, hi_p[:Q], lo_p[:Q])
     assert int(ovf) == 0
     for a, b in ((f1, f2), (ng1, ng2), (t1, t2), (m1, m2)):
@@ -162,6 +175,7 @@ def main():
     payload = Q * (4 + 4 + 1) + Q * (1 + 4 + 4 * MAX_TIDS + MAX_TIDS)
     res = {
         "metric": "router_rehearsal",
+        "layout": LAYOUT,
         "n_kmers": idx.n_kmers,
         "Q": Q,
         "direct_Mlps": round(Q / t_direct / 1e6, 2),
