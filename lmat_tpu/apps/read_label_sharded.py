@@ -93,15 +93,24 @@ class ShardedFastClassifier(FastClassifier):
         from .read_label_device import prepare_reads
 
         k, scorer, idx16 = self.k, self.scorer, self._idx16
-        lookup = make_sharded_lookup(self.mesh, self.sidx,
-                                     q_per_device=self._q_per_dev, cap=cap)
+        if not hasattr(self, "_tables"):
+            from ..parallel.router import place_tables
 
-        def step(batch_arr, gc_bins):
+            # placed once, shared by every cap's program; passed as jit
+            # ARGUMENTS so multi-GB shard tables are never embedded into
+            # the traced program (see router.place_tables)
+            self._tables = place_tables(self.mesh, self.sidx)
+        lookup = make_sharded_lookup(self.mesh, self.sidx,
+                                     q_per_device=self._q_per_dev, cap=cap,
+                                     tables=self._tables)
+
+        def step(tables, batch_arr, gc_bins):
             # nibble-packed input (see read_label_fast): halves the
             # host->device upload, which crosses DCN on multi-host meshes
             prep = prepare_reads(batch_arr, k, packed=True)
             B, Pp = prep["hi"].shape
-            found, ng, tids, tmask, overflow = lookup(
+            found, ng, tids, tmask, overflow = lookup.sharded_fn(
+                *tables,
                 prep["hi"].reshape(-1), prep["lo"].reshape(-1),
                 prep["qvalid"].reshape(-1),
             )
@@ -141,7 +150,7 @@ class ShardedFastClassifier(FastClassifier):
         jitted = jax.jit(step, out_shardings=(rows, rows, rows, rows, rows, repl))
 
         def run(batch_np, gcb=None):
-            return jitted(*self._stage_batch(batch_np, gcb))
+            return jitted(self._tables, *self._stage_batch(batch_np, gcb))
 
         self._runs[cap] = run
         return run

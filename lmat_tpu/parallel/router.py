@@ -144,12 +144,39 @@ def _local_probe(shard_arrays, per_buckets, shard_id, search_depth, max_tids,
     )
 
 
-def make_sharded_lookup(mesh, sidx: ShardedIndex, q_per_device: int, cap: int | None = None):
+def place_tables(mesh, sidx: ShardedIndex):
+    """Device-place the stacked shard tables with the "db" sharding, to be
+    passed as jit ARGUMENTS.
+
+    Closure capture is NOT an option at scale: a numpy table captured by a
+    traced function is embedded into the MLIR as a literal (GBs of
+    constants wedge the remote compiler — NOTES.md r3), and a captured
+    device array is fetched BACK to the host during lowering (the r5
+    cold-start root cause).  make_array_from_callback works in single- and
+    multi-process runs alike (every process holds the full host arrays and
+    contributes its addressable shards)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("db"))
+
+    def put(x):
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return (put(sidx.bucket_tab), put(sidx.suffix_over), put(sidx.rec),
+            put(sidx.arena))
+
+
+def make_sharded_lookup(mesh, sidx: ShardedIndex, q_per_device: int,
+                        cap: int | None = None, tables=None):
     """Build a pjit-able sharded lookup fn.
 
     Returns fn(shard_arrays_stacked, hi, lo, valid) -> (found, ng, tids,
     tmask, overflow) where hi/lo/valid are flat [Q_total] arrays sharded over
     ("data","db") and shard arrays are sharded over "db".
+
+    tables: pre-placed device tables from place_tables() (shared across
+    router caps); placed here when absent.
     """
     import jax
     import jax.numpy as jnp
@@ -232,13 +259,17 @@ def make_sharded_lookup(mesh, sidx: ShardedIndex, q_per_device: int, cap: int | 
         check_vma=False,
     )
 
-    def wrapped(hi, lo, valid):
-        return fn(
-            sidx.bucket_tab, sidx.suffix_over, sidx.rec, sidx.arena,
-            hi, lo, valid,
-        )
+    if tables is None:
+        tables = place_tables(mesh, sidx)
+    jfn = jax.jit(fn)
 
-    out = jax.jit(wrapped)
-    out.sharded_fn = fn  # raw shard_map callable (tables passed explicitly);
-    # composable under an outer jit/scan for on-chip timing harnesses
-    return out
+    def wrapped(hi, lo, valid):
+        # tables ride as jit ARGUMENTS — never closure constants (see
+        # place_tables)
+        return jfn(*tables, hi, lo, valid)
+
+    wrapped.sharded_fn = fn  # raw shard_map callable (tables passed
+    # explicitly); composable under an outer jit/scan — thread the tables
+    # through the outer jit's arguments there too
+    wrapped.tables = tables
+    return wrapped
