@@ -70,12 +70,29 @@ class FastClassifier:
             # trip is the critical path over remote host<->device links):
             # candidates ship pre-sorted as raw taxids, so neither the sort
             # order nor the node table is needed on the host
-            ints = jnp.stack(
-                [out["call_tid"], out["match"], out["n_cand"],
-                 out["cand_kmer_cnt"], out["cnt_fnd"], out["valid_kmers"],
-                 out["fnd_phix"].astype(jnp.int32)],
-                axis=1,
-            )
+            # compact per-read int transfer when the ranges allow (node
+            # indices fit uint16, counts fit uint16, flags/enums fit uint8):
+            # 28 B/read -> 11 B/read of fetch bytes; _fetch reconstructs the
+            # canonical 7-column int32 layout host-side
+            compact = idx16 and scorer.cfg.max_candidates <= 255
+            if compact:
+                ints = (
+                    jnp.stack(
+                        [out["call_idx"], out["cand_kmer_cnt"],
+                         out["cnt_fnd"], out["valid_kmers"]], axis=1
+                    ).astype(jnp.uint16),
+                    jnp.stack(
+                        [out["match"], out["n_cand"],
+                         out["fnd_phix"].astype(jnp.int32)], axis=1
+                    ).astype(jnp.uint8),
+                )
+            else:
+                ints = jnp.stack(
+                    [out["call_tid"], out["match"], out["n_cand"],
+                     out["cand_kmer_cnt"], out["cnt_fnd"], out["valid_kmers"],
+                     out["fnd_phix"].astype(jnp.int32)],
+                    axis=1,
+                )
             flts = jnp.stack(
                 [out["call_score"], out["log_avg"], out["stdev"],
                  out["top_score"], out["phix_score"]],
@@ -90,6 +107,9 @@ class FastClassifier:
             ovf = out["overflow"]
             if dedup_frac:
                 ovf = ovf + pr["dedup_ovf"]
+            if compact:
+                # only the >0 test reaches the host; saturate into uint8
+                ovf = jnp.minimum(ovf, 255).astype(jnp.uint8)
 
             # compact candidate transfer: only the PRINTED candidates (the
             # contiguous score>=0 tail of each sorted row) ship by default —
@@ -100,7 +120,10 @@ class FastClassifier:
             B2, C2 = ss.shape
             j = jnp.arange(C2, dtype=jnp.int32)[None, :]
             printable = (j >= (C2 - out["n_cand"])[:, None]) & (ss >= 0)
-            m = jnp.sum(printable.astype(jnp.int32), axis=1)
+            m32 = jnp.sum(printable.astype(jnp.int32), axis=1)
+            # m <= max_candidates <= 255 in compact mode; the total below
+            # must sum in int32 BEFORE the narrowing cast
+            m = m32.astype(jnp.uint8) if compact else m32
             cap = self.FLAT_CAP_PER_READ * B2
             key = jnp.where(
                 printable,
@@ -113,7 +136,7 @@ class FastClassifier:
             )
             flat_c = flat_c[:cap]
             flat_s = jax.lax.bitcast_convert_type(flat_sb[:cap], jnp.float32)
-            flat_ovf = (jnp.sum(m) > cap).astype(jnp.int32)
+            flat_ovf = (jnp.sum(m32) > cap).astype(jnp.int32)
             return (ints, flts, cs, ss, ovf, jnp.int32(0),
                     m, flat_c.astype(cs.dtype), flat_s, flat_ovf)
 
@@ -173,6 +196,18 @@ class FastClassifier:
             (dev_out[0], dev_out[1], dev_out[4], dev_out[5], dev_out[6],
              dev_out[7], dev_out[8], dev_out[9])
         )
+        if isinstance(ints, tuple):
+            # compact transfer (see step): (uint16 [B,4], uint8 [B,3]) back
+            # to the canonical int32 [B,7] columns; call_idx -> raw taxid
+            # through the host node table
+            a16, b8 = ints
+            ints = np.column_stack([
+                self._node_tab[np.minimum(a16[:, 0].astype(np.int64),
+                                          len(self._node_tab) - 1)],
+                b8[:, 0], b8[:, 1],
+                a16[:, 1], a16[:, 2], a16[:, 3], b8[:, 2],
+            ]).astype(np.int32)
+        m = np.asarray(m, np.int64)
         if int(fovf):
             cs, ss = jax.device_get((dev_out[2], dev_out[3]))
             return ints, flts, cs, ss, ovf, rtr

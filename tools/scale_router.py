@@ -92,12 +92,12 @@ def main():
     ])
     rng.shuffle(qk)
     hi_p, lo_p = split64(qk)
-    put = jax.device_put
-    tables = {
-        "bucket_tab": put(sidx.bucket_tab), "suffix_over": put(sidx.suffix_over),
-        "rec": put(sidx.rec), "arena": put(sidx.arena),
-    }
-    hi_p, lo_p = put(hi_p), put(lo_p)
+    # reuse the lookup's placed tables (device-placing a second copy would
+    # double the multi-GB HBM footprint and OOM the chip at 100M k-mers)
+    bt_d, so_d, rec_d, arena_d = routed.tables
+    tables = {"bucket_tab": bt_d, "suffix_over": so_d, "rec": rec_d,
+              "arena": arena_d}
+    hi_p, lo_p = jax.device_put(hi_p), jax.device_put(lo_p)
     jax.block_until_ready(tables["arena"])
 
     def reduce_out(found, ng, tids, tmask):
