@@ -43,14 +43,15 @@ BASELINE_READS_PER_SEC = 2317.0
 # example models: deep reads over 3 organisms) — enables cross-read dedup
 WORKLOAD = os.environ.get("BENCH_WORKLOAD", "mixed")
 N_ORGS = int(os.environ.get("BENCH_ORGS", 10))
-# cross-read dedup default (round-5 sweep, /tmp committed as
-# BENCH_COVERAGE_r05.json): at coverage the 0.25 cap wins ~29% (71.7k vs
-# 55.7k reads/s) and holds every batch's distinct k-mers; the mixed
-# workload keeps dedup OFF — its distinct count approaches B*P, so any cap
-# under ~1.0 overflows into the exact-path reroute and a cap of 1.0 is
-# pure overhead (3 extra sorts for zero duplicate hits)
-_DEDUP_DEFAULT = 0.25 if WORKLOAD == "coverage" else 0
-DEDUP = float(os.environ.get("BENCH_DEDUP", _DEDUP_DEFAULT) or 0)
+# cross-read dedup default: OFF for every workload (round-5 measured
+# result, BENCH_COVERAGE_r05.json).  Same-window A/B at coverage: dedup
+# 0.25 = 46.0k reads/s vs OFF = 79.7k — the dedup probe's 3 extra sorts
+# now cost more than the fused-layout probe saves (the earlier +29%
+# sweep result compared runs from different tunnel-congestion windows).
+# Dedup remains available (BENCH_DEDUP / read-label --dedup) for the
+# regime it still wins: capacity-scale DBs where the probe itself is the
+# dominant cost (29.5M lookups/s paged tier vs ~65M dedup-sort rate).
+DEDUP = float(os.environ.get("BENCH_DEDUP", 0) or 0)
 
 
 def build_taxonomy():
