@@ -299,11 +299,14 @@ class FastClassifier:
     # outstanding device_get fetches: each fetch pays the full host<->device
     # round-trip latency, so on remote links several must be in flight for
     # the transfer time (not the latency) to be the cost per batch (measured
-    # on the axon tunnel: depth 3 -> 6 alone is +17% e2e)
-    FETCH_DEPTH = 6
-    # batches prepared (pad + host GC bins) ahead of dispatch on a producer
-    # thread, so the ~10 ms/batch of host prep overlaps the device step
-    PREP_DEPTH = 3
+    # on the axon tunnel: depth 3 -> 6 was +17% e2e in round 1; 6 -> 10
+    # another +15% in a round-5 same-window sweep — the threads are
+    # IO-blocked, so the depth costs only outstanding-batch memory)
+    FETCH_DEPTH = 10
+    # batches prepared (pad + host GC bins + nibble pack + upload) ahead of
+    # dispatch on a producer thread, so the host prep overlaps the device
+    # step
+    PREP_DEPTH = 4
 
     def _prep(self, reads, pad_to=None, fixed_rows=None):
         """Producer-thread half of a step: pad + host GC bins + the input
