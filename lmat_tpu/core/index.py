@@ -544,10 +544,9 @@ class KmerIndex:
         """Upload the index to the device in one of two probe layouts.
 
         layout:
-          "auto"   — "paged" when its table fits _PAGED_AUTO_LIMIT (the
-                     measured-fastest tier at every scale, round 5); else
-                     "fused" when the fused table fits _FUSED_AUTO_LIMIT
-                     bytes and the geometry allows it; else "window"
+          "auto"   — "fused" when the fused table fits _FUSED_AUTO_LIMIT
+                     bytes and the geometry allows it; else "paged" when its
+                     table fits _PAGED_AUTO_LIMIT; else "window"
           "fused"  — single-gather bucket-row probe (fast, padded: see
                      fused_tables); raises if the geometry does not fit
           "paged"  — 2-gather capacity probe with inline records (see
@@ -575,41 +574,44 @@ class KmerIndex:
         elif layout == "auto" and dense_lists is None:
             # an explicit dense_lists choice pins the packed layout (callers
             # asking for a specific arena mode want that mode exercised).
-            # auto order (round 5): paged first — the 2-gather probe wins or
-            # ties the fused tier at EVERY measured scale once transfers are
-            # compact (same-window A/B at the 4M bench DB: paged 99.3k vs
-            # fused 84.0k reads/s; at 100M k-mers paged is 2.9x windowed,
-            # SCALE_r05), and one layout across scales keeps the sharded
-            # tier identical to the single-chip one — then fused, then the
-            # minimum-memory windowed fallback.
-            # paged slack is ~1.1-1.3x; 1.5x bounds the pre-build estimate,
-            # and the ACTUAL table bytes (ptab can grow when one deep bucket
-            # forces a fine split) gate the decision
-            est = self.n_kmers * (2 + self.max_tids) * 4 * 1.5
-            if est <= self._PAGED_AUTO_LIMIT:
-                paged = self.paged_tables()
-                if paged is not None:
-                    total = paged[0].nbytes + paged[1].nbytes
-                    if total > self._PAGED_AUTO_LIMIT:
-                        paged = None
-            if paged is None:
-                n_coarse = self.bucket_start.shape[0] - 1
-                counts_est = np.diff(self.bucket_start.astype(np.int64))
-                max_b = int(counts_est.max()) if counts_est.size else 0
-                R_est = 8
-                while R_est < max_b:
-                    R_est *= 2
-                if max_b <= self._FUSED_RMAX:
-                    nbytes = n_coarse * R_est * (2 + self.max_tids) * 4
-                else:
-                    # deep buckets take the fine-R8 branch: nb ~ max(
-                    # n_coarse, 2N) at ~0.5 occupancy
-                    nb_est = n_coarse
-                    while self.n_kmers / max(nb_est, 1) > 0.5 and nb_est < (1 << 31):
-                        nb_est *= 2
-                    nbytes = nb_est * self._FUSED_RTARGET * (2 + self.max_tids) * 4
-                if nbytes <= self._FUSED_AUTO_LIMIT:
-                    fused = self.fused_tables()
+            # auto order: fused first at small scale, then paged, then the
+            # minimum-memory windowed fallback.  Round-5 note: an e2e A/B
+            # briefly suggested paged wins at bench scale too, but a
+            # CONTROLLED in-process interleaved step timing (value-fetch
+            # forced; block_until_ready does not block on the remote
+            # backend) settles it — fused 16.5 ms vs paged 18.4 ms per
+            # 2048-read batch at the 4M-k-mer DB; the e2e split was tunnel
+            # -window variance.  At capacity the order flips (paged 29.6M
+            # vs windowed 10.3M lookups/s at 100M k-mers, SCALE_r05) and
+            # fused no longer fits, which is exactly what the limits encode.
+            n_coarse = self.bucket_start.shape[0] - 1
+            counts_est = np.diff(self.bucket_start.astype(np.int64))
+            max_b = int(counts_est.max()) if counts_est.size else 0
+            R_est = 8
+            while R_est < max_b:
+                R_est *= 2
+            if max_b <= self._FUSED_RMAX:
+                nbytes = n_coarse * R_est * (2 + self.max_tids) * 4
+            else:
+                # deep buckets take the fine-R8 branch: nb ~ max(n_coarse,
+                # 2N) at ~0.5 occupancy
+                nb_est = n_coarse
+                while self.n_kmers / max(nb_est, 1) > 0.5 and nb_est < (1 << 31):
+                    nb_est *= 2
+                nbytes = nb_est * self._FUSED_RTARGET * (2 + self.max_tids) * 4
+            if nbytes <= self._FUSED_AUTO_LIMIT:
+                fused = self.fused_tables()
+            if fused is None:
+                # paged slack is ~1.1-1.3x; 1.5x bounds the pre-build
+                # estimate, and the ACTUAL table bytes (ptab can grow when
+                # one deep bucket forces a fine split) gate the decision
+                est = self.n_kmers * (2 + self.max_tids) * 4 * 1.5
+                if est <= self._PAGED_AUTO_LIMIT:
+                    paged = self.paged_tables()
+                    if paged is not None:
+                        total = paged[0].nbytes + paged[1].nbytes
+                        if total > self._PAGED_AUTO_LIMIT:
+                            paged = None
         if paged is not None:
             ptab, pages, pe, pp = paged
             return DeviceIndex(

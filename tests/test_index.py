@@ -163,12 +163,10 @@ def test_fused_layout_respects_validity_and_auto_policy():
     k = 12
     kmers, lists = random_db(rng, 64, k, 4)
     idx = KmerIndex.build(kmers, lists, k, max_tids=4)
-    # auto picks paged for tiny DBs (round 5: the 2-gather tier measured
-    # fastest at every scale); fused stays reachable explicitly below
+    # auto picks fused for tiny DBs (controlled step A/B: fused 16.5 ms vs
+    # paged 18.4 ms per batch at bench scale; paged takes over at capacity)
     dev = idx.to_device()
-    assert dev.paged_tab is not None
-    devf = idx.to_device(layout="fused")
-    assert devf.fused_rows is not None
+    assert dev.fused_rows is not None
     hi, lo = split64(kmers[:32])
     valid = np.zeros((1, 32), bool)
     valid[0, ::2] = True
@@ -183,7 +181,7 @@ def test_fused_layout_respects_validity_and_auto_policy():
     deep = (np.uint64(0xA) << np.uint64(20)) | lows
     lists2 = [np.array([5], np.uint32)] * len(deep)
     idx2 = KmerIndex.build(deep, lists2, k, max_tids=4)
-    dev2 = idx2.to_device(layout="fused")
+    dev2 = idx2.to_device()
     assert dev2.fused_rows is not None and dev2.fused_e > 0
     hi2, lo2 = split64(deep[:64])
     f2, n2_, t2_, m2_ = (np.asarray(x) for x in dev2.lookup(
