@@ -105,6 +105,13 @@ def cmd_run_rl(args):
     print(f"pipeline outputs at {rlofile}*")
 
 
+def cmd_batch_run(args):
+    from ..apps.batch_run import batch_run
+
+    done = batch_run(args)
+    print(f"batch-run complete: {len(done)} samples under {args.odir}")
+
+
 def cmd_gene_label(args):
     from ..apps.gene_label import GeneLabeler, GeneLabelOptions
     from ..apps.make_db import build_from_kpc
@@ -444,6 +451,32 @@ def main(argv=None):
     p.add_argument("--tax-tree"), p.add_argument("--depth")
     p.add_argument("--rank-file"), p.add_argument("--rank-ids")
     p.set_defaults(fn=cmd_run_rl)
+
+    p = sub.add_parser(
+        "batch-run",
+        help="multi-sample pipeline launcher (pyLMAT_rl/gl capability): "
+             "run-rl (+optional gene-label) per sample, one outdir each",
+    )
+    p.add_argument("--path", required=True,
+                   help="directory of FASTA/FASTQ samples, or a sample "
+                        "sheet of name<TAB>reads rows")
+    p.add_argument("--db_file", dest="db", required=True)
+    p.add_argument("--odir", default=".")
+    p.add_argument("--min_score", type=float, default=0.0)
+    p.add_argument("--min_read_kmer", type=int, default=30)
+    p.add_argument("--sdiff", type=float, default=1.0)
+    p.add_argument("--hbias", type=float, default=0.0)
+    p.add_argument("--nullm", default=None)
+    p.add_argument("--mode", choices=("exact", "fast"), default="exact")
+    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--max-candidates", type=int, default=128)
+    p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--gene-db", default=None,
+                   help="optional gene DB: run the gene_label pass per sample")
+    p.add_argument("--gene-table", default=None)
+    p.add_argument("--tax-tree"), p.add_argument("--depth")
+    p.add_argument("--rank-file"), p.add_argument("--rank-ids")
+    p.set_defaults(fn=cmd_batch_run)
 
     p = sub.add_parser("gene-label", help="gene annotation pass (run_gl.sh)")
     p.add_argument("-l", "--inputs", nargs="+", required=True)

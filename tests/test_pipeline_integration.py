@@ -72,3 +72,50 @@ def test_two_sample_pipeline(tmp_path):
         int(l.split("\t")[1]) for l in open(FIX + "/work/rl_nonull.0.30.fastsummary")
     )
     assert total == golden
+
+
+def test_batch_run_multi_sample(tmp_path):
+    """Multi-sample launcher (the pyLMAT_rl capability, SURVEY.md §2.2):
+    one outdir per sample, full run-rl chain per sample, restart skip."""
+    import argparse
+    import os
+    import shutil
+
+    from lmat_tpu.apps.batch_run import batch_run, discover_samples
+    from lmat_tpu.apps.make_db import build_from_tax_histo
+
+    FIX = os.path.join(os.path.dirname(__file__), "fixtures", "golden_small")
+    db = tmp_path / "db"
+    build_from_tax_histo(FIX + "/work/taxhisto.bin", k=20, max_tids=8).save(str(db))
+    samples = tmp_path / "samples"
+    samples.mkdir()
+    shutil.copy(FIX + "/reads.fa", samples / "sampleA.fa")
+    with open(FIX + "/reads.fa") as f:
+        head = "".join([next(f) for _ in range(40)])
+    (samples / "sampleB.fa").write_text(head)
+
+    found = discover_samples(str(samples))
+    assert [n for n, _ in found] == ["sampleA", "sampleB"]
+
+    # sample sheet flavor too
+    sheet = tmp_path / "sheet.tsv"
+    sheet.write_text(f"sa\t{samples/'sampleA.fa'}\n")
+    assert discover_samples(str(sheet)) == [("sa", str(samples / "sampleA.fa"))]
+
+    args = argparse.Namespace(
+        path=str(samples), db=str(db), odir=str(tmp_path / "out"),
+        min_score=0.0, min_read_kmer=30, sdiff=1.0, hbias=0.0,
+        nullm=FIX + "/null_lst.txt", mode="exact", batch=512,
+        max_candidates=128, overwrite=False, gene_db=None, gene_table=None,
+        lmat_dir=FIX, tax_tree=None, depth=None, rank_file=None, rank_ids=None,
+    )
+    done = batch_run(args)
+    assert len(done) == 2
+    outA = tmp_path / "out" / "sampleA"
+    got = (outA / "sampleA.fa.db.lo.rl_output0.out").read_bytes()
+    want = open(FIX + "/work/rl_null0.out", "rb").read()
+    assert got == want  # per-sample run == the single-run golden
+    assert (outA / "sampleA.fa.db.lo.rl_output.0.30.fastsummary.species").exists()
+    # restart guard: a second run skips both samples
+    done2 = batch_run(args)
+    assert len(done2) == 2
