@@ -322,21 +322,14 @@ class KmerIndex:
         MT = self.max_tids
         W = 2 + MT
 
-        # classic coarse layout first: despite the fine-R8 probe measuring
-        # faster standalone (9.4 vs 10.7 ms), e2e bench runs SLOWER with it
-        # (80-86k vs 94k reads/s — the 4x bigger table costs more than the
-        # narrower rows save); the fine split is the DEEP-BUCKET fallback
-        # that keeps skewed DBs on the fused tier instead of downgrading
-        e = 0
-        counts = bcounts
-        R = 8
-        while R < max_b:
-            R *= 2
         N = self.n_kmers
-        if max_b > self._FUSED_RMAX or n_coarse * R * W * 4 > self._FUSED_FINE_LIMIT:
-            # fine-bucket split to R=_FUSED_RTARGET (one histogram at ~0.5
-            # mean occupancy folded down, as in paged_tables)
+
+        def fine_split():
+            """Fine-bucket split to R=_FUSED_RTARGET (one histogram at ~0.5
+            mean occupancy folded down, as in paged_tables); returns
+            (counts, e) or None when no split fits _FUSED_FINE_LIMIT."""
             R = self._FUSED_RTARGET
+            e = 0
             hi_all = np.repeat(np.arange(n_coarse, dtype=np.int64), bcounts)
             lo_all = self.suffix.astype(np.int64)
             while N / max(n_coarse << e, 1) > 0.5 and e < SUF_BITS - 2:
@@ -358,13 +351,34 @@ class KmerIndex:
                 e += 1
                 fb = (hi_all << e) | (lo_all >> (SUF_BITS - e))
                 counts = np.bincount(fb, minlength=n_coarse << e)
-            e_fine = e
             while e > 0:
                 folded = counts.reshape(-1, 2).sum(axis=1)
                 if folded.size and folded.max() > R:
                     break
                 counts, e = folded, e - 1
             if (n_coarse << e) * R * W * 4 > self._FUSED_FINE_LIMIT:
+                return None
+            return counts, e
+
+        # fine-R8 split first (round-5 revision): a CONTROLLED interleaved
+        # step timing (value-fetch forced) measures the fine-R8 step at
+        # 14.8 ms/batch vs classic R16's 16.4 at the 4M bench DB — the r4
+        # e2e comparison that said otherwise mixed tunnel-congestion
+        # windows.  Narrower rows win ~10% at ~4x the table bytes (2.7 GB
+        # vs 0.7 GB at 4M k-mers, still inside _FUSED_FINE_LIMIT); the
+        # classic coarse layout stays as the fallback when the fine split
+        # exceeds the limit but the classic one fits.
+        fine = fine_split()
+        if fine is not None:
+            counts, e = fine
+            R = self._FUSED_RTARGET
+        else:
+            e = 0
+            counts = bcounts
+            R = 8
+            while R < max_b:
+                R *= 2
+            if max_b > self._FUSED_RMAX or n_coarse * R * W * 4 > self._FUSED_FINE_LIMIT:
                 return None
         nb = n_coarse << e
         rows = np.zeros((nb, R, W), np.uint32)
