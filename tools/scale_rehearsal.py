@@ -188,11 +188,13 @@ def main():
 
     rates = {}
     for name, d in (("windowed", dix), ("paged", dixp)):
-        jax.block_until_ready(probe_scan(d, qhi, qlo, jnp.int32(0)))
+        int(probe_scan(d, qhi, qlo, jnp.int32(0)))
         reps = 3
         t0 = time.time()
         outs = [probe_scan(d, qhi, qlo, jnp.int32(i + 1)) for i in range(reps)]
-        jax.block_until_ready(outs)
+        # VALUE fetch as the barrier: block_until_ready can resolve before
+        # remote execution completes (NOTES.md round-5 pitfall)
+        _ = [int(o) for o in outs]
         dt = (time.time() - t0) / reps / ITERS
         rates[name] = Q / dt
         log(

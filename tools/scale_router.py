@@ -142,11 +142,13 @@ def main():
 
     def timed(g):
         # distinct seed per call: the runtime memoizes identical executions
-        # and would serve cached results (NOTES.md r4 pitfall)
-        jax.block_until_ready(g(tables, hi_p, lo_p, jnp.int32(0)))
+        # and would serve cached results (NOTES.md r4 pitfall); VALUE fetch
+        # as the barrier — block_until_ready can resolve before remote
+        # execution completes (round-5 pitfall)
+        int(g(tables, hi_p, lo_p, jnp.int32(0)))
         t0 = time.time()
         outs = [g(tables, hi_p, lo_p, jnp.int32(r + 1)) for r in range(3)]
-        jax.block_until_ready(outs)
+        _ = [int(o) for o in outs]
         return (time.time() - t0) / 3 / ITER
 
     # correctness: routed and direct must agree on the fixed query window
