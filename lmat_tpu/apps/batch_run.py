@@ -62,9 +62,22 @@ def batch_run(args) -> list[tuple[str, str]]:
     restart guard, one level up)."""
     from ..cli.main import cmd_gene_label, cmd_run_rl
 
+    if args.gene_db and not args.gene_table:
+        # the standalone gene-label command rejects this at argparse time;
+        # fail here too instead of after the expensive classify pass
+        raise SystemExit("--gene-db requires --gene-table")
     samples = discover_samples(args.path)
     if not samples:
         raise SystemExit(f"no samples found under {args.path}")
+    names = [n for n, _ in samples]
+    if len(set(names)) != len(names):
+        dups = sorted({n for n in names if names.count(n) > 1})
+        raise SystemExit(
+            "duplicate sample names from different directories would share "
+            f"one outdir (and the restart guard would silently skip the "
+            f"later ones): {', '.join(dups)} — use a sample sheet with "
+            "unique names"
+        )
     done = []
     for name, reads in samples:
         outdir = os.path.join(args.odir, name)
@@ -97,11 +110,16 @@ def batch_run(args) -> list[tuple[str, str]]:
                 for f in sorted(os.listdir(outdir))
                 if f.endswith(".out")
             ]
+            # thresholds match the standalone gene-label command and
+            # run_gl.sh (-x 0.1 gene score, -q 20 gene k-mers — a separate
+            # knob from read-label's min_read_kmer — max_tids 32), so
+            # batch-run and the manual two-step flow produce identical
+            # gene summaries
             gns = argparse.Namespace(
                 inputs=outs, db=args.gene_db, gene_table=args.gene_table,
                 output=os.path.join(outdir, qname + ".gl"),
-                min_score=0.0, min_kmer=args.min_read_kmer,
-                min_tax_score=args.min_score, k=20, max_tids=16,
+                min_score=0.1, min_kmer=20,
+                min_tax_score=args.min_score, k=20, max_tids=32,
                 mode=args.mode,
             )
             cmd_gene_label(gns)

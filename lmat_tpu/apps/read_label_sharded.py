@@ -174,15 +174,18 @@ class ShardedFastClassifier(FastClassifier):
         """Router-capacity overflow degrade path: re-run the batch with a
         doubled cap (up to the q_per_device safe bound, at which overflow is
         impossible) instead of aborting."""
-        cap_used = None  # cap that produced `vals` (None = self.step's cap)
+        cap_used = None  # cap of OUR last retry (None = not retried yet)
         while int(vals[5]) > 0:
             with self._router_lock:
                 # serialized: concurrent worker threads must not interleave
                 # the cap ratchet (double-doubling), the _runs jit cache, or
-                # the step swap.  Another thread may have raised the cap
-                # while this one waited — then retry at the current cap
-                # before doubling again.
-                if cap_used is None or self._cap <= cap_used:
+                # the step swap.  The dispatch-time cap of `vals` is
+                # unknown (another thread may have raised self._cap since),
+                # so the first iteration retries at the CURRENT cap; only a
+                # retry that overflowed at self._cap itself doubles — this
+                # also keeps the safe-cap assert from firing when another
+                # thread already raised the cap to the safe bound.
+                if cap_used == self._cap:
                     assert self._cap < self._q_per_dev, (
                         "router overflow at safe cap"
                     )

@@ -601,19 +601,23 @@ class KmerIndex:
             n_coarse = self.bucket_start.shape[0] - 1
             counts_est = np.diff(self.bucket_start.astype(np.int64))
             max_b = int(counts_est.max()) if counts_est.size else 0
+            W_est = 2 + self.max_tids
+            # fused_tables prefers the fine-R8 split (round 5), so the
+            # gate models BOTH variants: attempt fused when either the
+            # fine-R8 estimate (nb at ~0.5 occupancy) or the classic
+            # fallback fits — the builder enforces the real limits
+            nb_est = n_coarse
+            while self.n_kmers / max(nb_est, 1) > 0.5 and nb_est < (1 << 31):
+                nb_est *= 2
+            fine_bytes = nb_est * self._FUSED_RTARGET * W_est * 4
             R_est = 8
             while R_est < max_b:
                 R_est *= 2
-            if max_b <= self._FUSED_RMAX:
-                nbytes = n_coarse * R_est * (2 + self.max_tids) * 4
-            else:
-                # deep buckets take the fine-R8 branch: nb ~ max(n_coarse,
-                # 2N) at ~0.5 occupancy
-                nb_est = n_coarse
-                while self.n_kmers / max(nb_est, 1) > 0.5 and nb_est < (1 << 31):
-                    nb_est *= 2
-                nbytes = nb_est * self._FUSED_RTARGET * (2 + self.max_tids) * 4
-            if nbytes <= self._FUSED_AUTO_LIMIT:
+            classic_ok = (
+                max_b <= self._FUSED_RMAX
+                and n_coarse * R_est * W_est * 4 <= self._FUSED_AUTO_LIMIT
+            )
+            if fine_bytes <= self._FUSED_AUTO_LIMIT or classic_ok:
                 fused = self.fused_tables()
             if fused is None:
                 # paged slack is ~1.1-1.3x; 1.5x bounds the pre-build

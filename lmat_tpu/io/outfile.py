@@ -35,9 +35,17 @@ class OutRecord:
     # single pair without one (:829-848) — preserved per record for byte
     # round-trips
     cand_leading_space: bool = True
+    # reject-quirk prefix row: the reference emits only "hdr\tread\t" for
+    # reads rejected inside construct_labels (read_label.cpp:727-733);
+    # such records carry no scoring columns and round-trip as the bare
+    # prefix (no fabricated stat/call columns)
+    truncated: bool = False
 
     def to_line(self) -> str:
-        """Reference-format tab-separated line (no trailing newline)."""
+        """Reference-format tab-separated line (no trailing newline;
+        truncated prefix rows keep their trailing tab)."""
+        if self.truncated:
+            return f"{self.header}\t{self.seq}\t"
         g = "%g".__mod__
         stats = f"{g(self.log_avg)} {g(self.stdev)} {self.valid_kmers}"
         cand = " ".join(f"{t} {g(s)}" for t, s in self.candidates)
@@ -59,6 +67,7 @@ def parse_out_line(line: str) -> OutRecord | None:
         return None
     rec = OutRecord(header=parts[0], seq=parts[1])
     if len(parts) < 5:
+        rec.truncated = True
         return rec  # rejected-read prefix (no scoring columns)
     stats = parts[2].split()
     if len(stats) >= 3:
@@ -92,10 +101,13 @@ def iter_out_records(path: str):
 
 
 def write_out_records(records, path: str) -> int:
-    """Write records back in reference format; returns the record count."""
+    """Write records back in reference format; returns the record count.
+    Truncated prefix rows are written without a newline, matching the
+    reference writer's reject quirk."""
     n = 0
     with open(path, "w") as f:
         for rec in records:
-            f.write(rec.to_line() + "\n")
+            line = rec.to_line()
+            f.write(line if line.endswith("\t") else line + "\n")
             n += 1
     return n

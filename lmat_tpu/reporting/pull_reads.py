@@ -116,33 +116,30 @@ def pull_headers(out_file: str, id_file: str, thresh: float, min_kmer: int,
                     valid[v] = main_id
                 handles[main_id] = open(f"{ofilebase}.{main_id}", "w")
 
+    from ..io.outfile import iter_out_records
+
     cnt = 0
-    with open(out_file) as f:
-        for raw in f:
-            vals = raw.rstrip("\n").split("\t")
-            if len(vals) < 5:
-                continue
-            call = vals[4].split(" ")
-            if len(call) < 3:
-                continue
-            tid, score, mtype = call[0], float(call[1]), call[2]
-            stats = vals[2].split(" ")
-            valid_kmers = float(stats[2]) if len(stats) >= 3 else -1
-            fh = None
-            if (
-                tid in valid and score >= thresh and valid_kmers >= min_kmer
-                and vals[1] != "X"
-            ):
-                fh = handles[valid[tid]]
-            elif do_low and score < low_min and valid_kmers >= min_kmer and vals[1] != "X":
-                fh = handles["LowScore"]
-            elif mtype == "NoDbHits" and valid_kmers >= min_kmer and vals[1] != "X":
-                fh = handles.get("NoDbHits")
-            elif mtype == "ReadTooShort" and do_short and vals[1] != "X":
-                fh = handles.get("ReadTooShort")
-            if fh is not None:
-                cnt += 1
-                fh.write(vals[0] + "\n")
+    for rec in iter_out_records(out_file):
+        if rec.truncated or not rec.match_type:
+            continue
+        tid = str(rec.call_tid)
+        fh = None
+        if (
+            tid in valid and rec.call_score >= thresh
+            and rec.valid_kmers >= min_kmer and rec.seq != "X"
+        ):
+            fh = handles[valid[tid]]
+        elif (do_low and rec.call_score < low_min
+              and rec.valid_kmers >= min_kmer and rec.seq != "X"):
+            fh = handles["LowScore"]
+        elif (rec.match_type == "NoDbHits" and rec.valid_kmers >= min_kmer
+              and rec.seq != "X"):
+            fh = handles.get("NoDbHits")
+        elif rec.match_type == "ReadTooShort" and do_short and rec.seq != "X":
+            fh = handles.get("ReadTooShort")
+        if fh is not None:
+            cnt += 1
+            fh.write(rec.header + "\n")
     for fh in handles.values():
         fh.close()
     return cnt
@@ -201,9 +198,14 @@ def pull_reads_fq_pipeline(out_files: list[str], id_file: str, fq_file: str,
                 continue
             if merge_path is None:
                 # the wrapper shortens "…lo.rl_outputN.out." and "pulled."
-                # out of the merged name (pull_reads_fq_mc.sh:104-107)
-                m = re.sub(r"lo.rl_output[0-9]+.out.", "", ofile)
-                merge_path = re.sub(r"pulled.", "", m) + ".headers"
+                # out of the merged name (pull_reads_fq_mc.sh:104-107) —
+                # applied to the BASENAME only, dots escaped, first match
+                # only (the wrapper's unescaped global seds would also
+                # rewrite a directory component that happens to match)
+                d, b = os.path.split(ofile)
+                b = re.sub(r"lo\.rl_output[0-9]+\.out\.", "", b, count=1)
+                b = re.sub(r"pulled\.", "", b, count=1)
+                merge_path = os.path.join(d, b) + ".headers"
             parts.append(ofile)
         if merge_path is None:
             continue

@@ -71,4 +71,7 @@ def test_out_record_parse_roundtrip():
     r = parse_out_line("h\tACGT\t-1 -1 -1\t-1 -1\t12 20 ReadTooShort")
     assert not r.classified and r.match_type == "ReadTooShort"
     r2 = parse_out_line("h\tACGT\t")
-    assert r2 is not None and r2.match_type == ""
+    assert r2 is not None and r2.match_type == "" and r2.truncated
+    # reject-quirk prefix rows round-trip as the bare prefix (no fabricated
+    # stat/call columns) and are written without a newline
+    assert r2.to_line() == "h\tACGT\t"

@@ -119,3 +119,64 @@ def test_batch_run_multi_sample(tmp_path):
     # restart guard: a second run skips both samples
     done2 = batch_run(args)
     assert len(done2) == 2
+
+
+def test_batch_run_input_validation(tmp_path):
+    """Review-fix regressions: duplicate sample basenames across
+    subdirectories are rejected up front (the restart guard would silently
+    drop the later ones), and --gene-db without --gene-table fails before
+    the expensive classify pass."""
+    import argparse
+    import os
+    import shutil
+
+    import pytest
+
+    from lmat_tpu.apps.batch_run import batch_run
+
+    FIX = os.path.join(os.path.dirname(__file__), "fixtures", "golden_small")
+    samples = tmp_path / "s"
+    (samples / "d1").mkdir(parents=True)
+    (samples / "d2").mkdir(parents=True)
+    shutil.copy(FIX + "/reads.fa", samples / "d1" / "reads.fa")
+    shutil.copy(FIX + "/reads.fa", samples / "d2" / "reads.fa")
+
+    base = dict(
+        path=str(samples), db="unused", odir=str(tmp_path / "out"),
+        min_score=0.0, min_read_kmer=30, sdiff=1.0, hbias=0.0, nullm=None,
+        mode="exact", batch=512, max_candidates=128, overwrite=False,
+        gene_db=None, gene_table=None, lmat_dir=FIX, tax_tree=None,
+        depth=None, rank_file=None, rank_ids=None,
+    )
+    with pytest.raises(SystemExit, match="duplicate sample names"):
+        batch_run(argparse.Namespace(**base))
+    with pytest.raises(SystemExit, match="--gene-db requires --gene-table"):
+        batch_run(argparse.Namespace(**{**base, "gene_db": "g.db"}))
+
+
+def test_pull_reads_fq_pipeline_path_with_pulled_dir(tmp_path):
+    """Review-fix regression: an output directory whose PATH contains
+    'pulled' (or a rl_output-like component) must not be rewritten by the
+    merge-name shortening."""
+    import os
+
+    from lmat_tpu.reporting.pull_reads import pull_reads_fq_pipeline
+
+    FIX = os.path.join(os.path.dirname(__file__), "fixtures", "golden_small")
+    W = FIX + "/work"
+    out_file = W + "/rl_nonull0.out"
+    fq = tmp_path / "r.fq"
+    with open(out_file) as f, open(fq, "w") as o:
+        for line in f:
+            vals = line.rstrip("\n").split("\t")
+            if len(vals) < 2 or vals[1] == "X":
+                continue
+            o.write(f"@{vals[0]}\n{vals[1]}\n+\n{'I' * len(vals[1])}\n")
+    ids = tmp_path / "ids"
+    ids.write_text("32630\n")
+    odir = tmp_path / "pulled_runs"
+    odir.mkdir()
+    last = pull_reads_fq_pipeline([out_file], str(ids), str(fq), 0.0, 30,
+                                  str(odir))
+    assert last.startswith(str(odir)) and os.path.exists(last)
+    assert open(last).read().count("@") >= 1
